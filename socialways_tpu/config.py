@@ -1,0 +1,83 @@
+"""Configuration for training / evaluation.
+
+Replaces the reference's argparse + ~15 hard-coded module constants
+(reference: train.py:19-84) with a single dataclass.  Every hard-coded
+``FIXME`` flag of the reference (use_info_loss, use_l2_loss, use_variety_loss,
+use_social, loss weights, noise length, ...) is a real option here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyper-parameters of the Social-Ways GAN.
+
+    Defaults reproduce the reference defaults (train.py:19-84) except where
+    noted.  Frozen so it can be closed over by jitted functions safely.
+    """
+
+    # ---- data ----
+    dataset: str = "hotel"
+    data_file: str = ""          # path to the {obsvs,preds,times,batches} npz
+    n_past: int = 8              # set from data at load time
+    n_next: int = 12             # set from data at load time
+
+    # ---- optimisation (reference defaults) ----
+    batch_size: int = 256        # greedy scene-batch accumulation cap
+    n_epochs: int = 1000
+    lr_g: float = 1e-4
+    lr_d: float = 1e-3
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    # ---- architecture ----
+    hidden_size: int = 64
+    n_lstm_layers: int = 1
+    num_social_features: int = 3
+    social_feature_size: int = 64    # = hidden_size in the reference
+    noise_len: int = 32              # = hidden_size // 2 in the reference
+    latent_dim: int = 10             # reference flag --latent-dim (unused there too)
+    decoder: str = "fc"              # "fc" (reference default) | "lstm"
+
+    # ---- GAN variants ----
+    n_unrolling_steps: int = 1
+    use_info_loss: bool = True
+    loss_info_w: float = 0.5
+    n_latent_codes: int = 2
+    use_l2_loss: bool = False
+    use_variety_loss: bool = False
+    loss_l2_w: float = 0.5
+    variety_k: int = 20
+    # Reference restores only nn.Linear weights of D after unrolling
+    # (train.py:311-316 — LSTM weights leak). "full" fixes that bug;
+    # "reference" replicates it; "none" keeps the unrolled D.
+    d_restore: str = "full"
+    use_social: bool = False     # reference default (train.py:83) — paper's
+                                 # attention is OFF by default; expose both.
+
+    # ---- evaluation ----
+    n_gen_samples: int = 20      # K for min-of-K ADE/FDE
+    test_interval: int = 5       # epochs between eval runs
+    save_interval: int = 50      # epochs between checkpoints
+
+    # ---- runtime ----
+    seed: int = 0
+    dtype: str = "float32"       # compute dtype for the model
+    use_pallas: bool = False     # Pallas kernels for hot ops (TPU only)
+    mesh_shape: Optional[int] = None  # devices on the 'data' axis (None = all)
+    epoch_on_device: bool = True      # lax.scan over packed batches
+
+    # ---- io ----
+    model_dir: str = "trained_models"
+    dump_dir: str = ""           # prediction npz dump directory ("" = off)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def decoder_input(self) -> int:
+        return self.hidden_size + self.social_feature_size + self.noise_len

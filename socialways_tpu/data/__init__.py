@@ -1,0 +1,23 @@
+from socialways_tpu.data.scale import Scale
+from socialways_tpu.data.parsers import (
+    BIWIParser,
+    SDDParser,
+    SeyfriedParser,
+    TrajnetParser,
+)
+from socialways_tpu.data.windowing import create_dataset
+from socialways_tpu.data.toy import create_toy_samples, make_toy_npz_arrays
+from socialways_tpu.data.dataset import TrajectoryDataset, load_npz_dataset
+
+__all__ = [
+    "Scale",
+    "BIWIParser",
+    "SDDParser",
+    "SeyfriedParser",
+    "TrajnetParser",
+    "create_dataset",
+    "create_toy_samples",
+    "make_toy_npz_arrays",
+    "TrajectoryDataset",
+    "load_npz_dataset",
+]
