@@ -1,0 +1,72 @@
+"""LSTM cell and sequence layer.
+
+torch-convention LSTM math (the reference uses ``nn.LSTM``, train.py:254,278):
+gate pre-activations from input and hidden projections, gate order
+(i, f, g, o), ``c' = σ(f)⊙c + σ(i)⊙tanh(g)``, ``h' = σ(o)⊙tanh(c')``.
+
+TPU-first layout: input and hidden projections are fused into ONE matmul of
+``[x ‖ h] @ W`` with ``W: [in+h, 4h]`` so the MXU sees a single large GEMM
+per step; sequences run under ``lax.scan``.  Weights are stored pre-fused;
+init matches torch's U(-1/sqrt(h), 1/sqrt(h)) reset rule.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.ops.nn import Params
+
+LSTMState = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c), each [..., hidden]
+
+
+def lstm_init(key: jax.Array, in_dim: int, hidden: int,
+              dtype=jnp.float32) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / (hidden ** 0.5)
+    w = jax.random.uniform(kw, (in_dim + hidden, 4 * hidden), dtype,
+                           -bound, bound)
+    # torch keeps two bias vectors (b_ih + b_hh); their sum is what the cell
+    # sees, so store the fused equivalent drawn as the sum of two uniforms.
+    b = (jax.random.uniform(kb, (4 * hidden,), dtype, -bound, bound)
+         + jax.random.uniform(jax.random.fold_in(kb, 1), (4 * hidden,),
+                              dtype, -bound, bound))
+    return {"w": w, "b": b}
+
+
+def lstm_cell(p: Params, x: jnp.ndarray, state: LSTMState) -> LSTMState:
+    """One step. x: [..., in_dim]; state h,c: [..., hidden]."""
+    h, c = state
+    hidden = h.shape[-1]
+    gates = jnp.dot(jnp.concatenate([x, h], axis=-1), p["w"],
+                    preferred_element_type=x.dtype) + p["b"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    del hidden
+    return h_new, c_new
+
+
+def lstm_seq(p: Params, xs: jnp.ndarray, state: LSTMState
+             ) -> Tuple[jnp.ndarray, LSTMState]:
+    """Run over a sequence. xs: [B, T, in_dim] → (ys [B, T, hidden], state).
+
+    The time axis is the scan axis; the batch stays vectorized so every step
+    is one fused [B, in+h]×[in+h, 4h] GEMM.
+    """
+    def step(carry, x_t):
+        new = lstm_cell(p, x_t, carry)
+        return new, new[0]
+
+    xs_t = jnp.moveaxis(xs, -2, 0)          # [T, B, in_dim]
+    state, ys_t = jax.lax.scan(step, state, xs_t)
+    return jnp.moveaxis(ys_t, 0, -2), state
+
+
+def zero_state(batch_shape, hidden: int, dtype=jnp.float32) -> LSTMState:
+    if isinstance(batch_shape, int):
+        batch_shape = (batch_shape,)
+    shape = tuple(batch_shape) + (hidden,)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -1,0 +1,62 @@
+"""Minimal functional NN building blocks.
+
+The framework is pure-functional: parameters are pytrees (nested dicts of
+jnp arrays) built by ``*_init`` functions and consumed by pure ``*_apply``
+functions.  No module objects, no hidden state — everything composes with
+``jit`` / ``vmap`` / ``lax.scan`` / ``shard_map``.
+
+Initialization follows the torch ``nn.Linear`` / ``nn.LSTM`` reset rule the
+reference relies on (U(-1/sqrt(fan), 1/sqrt(fan)) for weights and biases):
+GAN training dynamics are sensitive to init scale, so we match it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int,
+                dtype=jnp.float32) -> Params:
+    """torch-style uniform init: U(-1/sqrt(in_dim), 1/sqrt(in_dim))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / (in_dim ** 0.5)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (out_dim,), dtype, -bound, bound),
+    }
+
+
+def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def mlp_init(key: jax.Array, dims: Sequence[int], dtype=jnp.float32) -> list:
+    """Chain of linear layers with the given dims, e.g. [3, 32, 64, 64]."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return [linear_init(k, dims[i], dims[i + 1], dtype)
+            for i, k in enumerate(keys)]
+
+
+def mlp_apply(layers: list, x: jnp.ndarray,
+              activation: Callable = jax.nn.relu,
+              final_activation: Callable | None = None) -> jnp.ndarray:
+    """Apply the chain, with ``activation`` between layers (not after the
+    last one unless ``final_activation`` is given)."""
+    n = len(layers)
+    for i, p in enumerate(layers):
+        x = linear_apply(p, x)
+        if i < n - 1:
+            x = activation(x)
+        elif final_activation is not None:
+            x = final_activation(x)
+    return x

@@ -1,0 +1,99 @@
+"""Social interaction features and masked attention pooling.
+
+Math parity with the reference (train.py:192-241 for the pairwise features,
+train.py:153-175 for attention pooling), re-designed for XLA:
+
+- the reference loops over scenes and agents in Python (an O(N²) eager-op
+  hot spot); here a single batched NxN computation with a *scene-membership
+  mask* replaces both the per-scene loop and the self-score ``-1000`` trick;
+- padded samples (scene_id == -1) are masked out, so ragged scene batches
+  run under one static shape.
+
+Feature definitions, per ordered pair (i, j), on last-observed-frame states
+x = (p, v):
+- Euclidean distance ``‖p_i − p_j‖``
+- bearing ``cosθ = (Δp·v_i) / (‖Δp‖‖v_i‖ + 1e-6)`` with Δp = p_i − p_j
+- distance of closest approach ``‖Δp + ttca·Δv‖`` with
+  ``ttca = −(Δp·Δv)/(‖Δv‖² + 1e-6)`` (un-clamped, as in the reference)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.ops.nn import Params, linear_apply
+
+_NEG_INF = -1e9
+
+
+def social_features(x4d_last: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise social features from last-frame 4-D states.
+
+    x4d_last: [N, 4] (px, py, vx, vy) → [N, N, 3] (dist, bearing, dca).
+    Entry [i, j] describes agent j as seen from agent i.
+    """
+    p = x4d_last[:, :2]
+    v = x4d_last[:, 2:]
+    dp = p[:, None, :] - p[None, :, :]       # Δp[i,j] = p_i − p_j
+    dv = v[:, None, :] - v[None, :, :]
+
+    dist = jnp.linalg.norm(dp, axis=-1)
+
+    # bearing of j relative to i's heading
+    dot_dp_v = jnp.einsum("ijk,ik->ij", dp, v)
+    v_norm = jnp.linalg.norm(v, axis=-1)
+    bearing = dot_dp_v / (dist * v_norm[:, None] + 1e-6)
+
+    # distance of closest approach under constant velocities
+    dot_dp_dv = jnp.sum(dp * dv, axis=-1)
+    dv_sq = jnp.sum(dv * dv, axis=-1) + 1e-6
+    ttca = -dot_dp_dv / dv_sq
+    dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+
+    return jnp.stack([dist, bearing, dca], axis=-1)
+
+
+def scene_mask(scene_ids: jnp.ndarray) -> jnp.ndarray:
+    """[N] int scene ids (−1 = padding) → [N, N] bool neighbor mask:
+    same scene, both valid, i ≠ j.  Replaces the reference's per-scene loop
+    bounds and N==1-scene skip (train.py:163-165)."""
+    valid = scene_ids >= 0
+    same = scene_ids[:, None] == scene_ids[None, :]
+    both_valid = valid[:, None] & valid[None, :]
+    not_self = ~jnp.eye(scene_ids.shape[0], dtype=bool)
+    return same & both_valid & not_self
+
+
+def attention_pool(w: Params, f_emb: jnp.ndarray, h: jnp.ndarray,
+                   neighbor_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked social attention pooling (reference train.py:160-175).
+
+    w: linear h_dim→f_dim; f_emb: [N, N, f] embedded pairwise features;
+    h: [N, h] agent hidden states; neighbor_mask: [N, N] bool.
+
+    Scores σ_ij = f_ij · (W h_j); masked softmax over each agent's scene
+    neighbors; S_i = Σ_j attn_ij h_j.  Agents with no neighbors (singleton
+    scenes or padding) get a zero vector, matching the reference's skip.
+    """
+    wh = linear_apply(w, h)                              # [N, f]
+    scores = jnp.einsum("ijf,jf->ij", f_emb, wh)
+    scores = jnp.where(neighbor_mask, scores, _NEG_INF)
+    # numerically safe masked softmax
+    scores_max = jnp.max(scores, axis=-1, keepdims=True)
+    unnorm = jnp.where(neighbor_mask,
+                       jnp.exp(scores - scores_max), 0.0)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    attn = unnorm / jnp.maximum(denom, 1e-20)
+    pooled = jnp.einsum("ij,jf->if", attn, h)
+    has_neighbor = jnp.any(neighbor_mask, axis=-1, keepdims=True)
+    return jnp.where(has_neighbor, pooled, 0.0)
+
+
+def social_pool(w_params: Params, embed_fn, x4d_last: jnp.ndarray,
+                h: jnp.ndarray, scene_ids: jnp.ndarray) -> jnp.ndarray:
+    """Fused convenience path: features → embed → attention pooling."""
+    feats = social_features(x4d_last)
+    f_emb = embed_fn(feats)
+    mask = scene_mask(scene_ids)
+    return attention_pool(w_params, f_emb, h, mask)

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The env var alone is not honored by the experimental 'axon' TPU plugin in
+# this image; the config update is, as long as it runs before first backend
+# use (it does — conftest imports precede all test imports).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
