@@ -1,0 +1,81 @@
+"""GAN losses (LSGAN + InfoGAN) with padding-aware masking.
+
+Loss structure parity with the reference train() (train.py:471-536):
+- LSGAN MSE labels with one-scalar-per-batch smoothing: fake targets are
+  ``U(0, 0.1)``, real targets ``U(0.9, 1.0)`` (train.py:471-472);
+- InfoGAN Q-loss: MSE between the Q-head output and the first
+  ``n_latent_codes`` dims of the (uniform!) noise (train.py:485,516);
+- optional L2 and variety losses (off by default, as in the reference).
+
+All means are masked: padded samples contribute nothing, and the denominator
+counts only valid elements — with no padding this reduces exactly to the
+reference's ``nn.MSELoss`` means.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
+               valid: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error over valid samples only.
+
+    pred/target: [N, ...]; valid: [N] bool.  Equals nn.MSELoss when all
+    valid."""
+    sq = (pred - target) ** 2
+    # broadcast valid over trailing dims
+    v = valid.reshape(valid.shape + (1,) * (sq.ndim - valid.ndim))
+    total = jnp.sum(jnp.where(v, sq, 0.0))
+    per_sample = 1
+    for d in sq.shape[valid.ndim:]:
+        per_sample *= d
+    count = jnp.sum(valid) * per_sample
+    return total / jnp.maximum(count, 1)
+
+
+def lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
+                 zeros_target, ones_target, use_info_loss: bool,
+                 loss_info_w: float, n_latent_codes: int):
+    """Discriminator loss (train.py:482-494). Labels are [N, 1]."""
+    loss = (masked_mse(fake_label, zeros_target, valid)
+            + masked_mse(real_label, ones_target, valid))
+    if use_info_loss:
+        loss = loss + loss_info_w * masked_mse(
+            fake_code, noise[:, :n_latent_codes], valid)
+    return loss
+
+
+def lsgan_g_loss(gen_label, gen_code, noise, valid, ones_target,
+                 use_info_loss: bool, loss_info_w: float,
+                 n_latent_codes: int):
+    """Generator fooling (+ info) loss (train.py:510-523)."""
+    loss = masked_mse(gen_label, ones_target, valid)
+    if use_info_loss:
+        loss = loss + loss_info_w * masked_mse(
+            gen_code, noise[:, :n_latent_codes], valid)
+    return loss
+
+
+def l2_traj_loss(pred_hat_p, pred_p, valid):
+    """Plain L2 between predicted and true positions (train.py:512)."""
+    return masked_mse(pred_hat_p, pred_p, valid)
+
+
+def variety_loss(pred_hat_p_k, pred_p, valid):
+    """Min-over-K sample L2 (SGAN variety loss).  The reference's version
+    (train.py:527-536) is broken — it indexes samples by the K loop variable
+    and reuses one noise draw; this is the corrected min-of-K per-sample
+    form, vmapped over K.
+
+    pred_hat_p_k: [K, N, T, 2]; pred_p: [N, T, 2]."""
+    sq = jnp.mean((pred_hat_p_k - pred_p[None]) ** 2, axis=(-2, -1))  # [K, N]
+    per_sample_min = jnp.min(sq, axis=0)                              # [N]
+    return jnp.sum(jnp.where(valid, per_sample_min, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+
+
+def traj_errors(pred_hat_p, pred_p):
+    """Per-sample, per-step Euclidean error [N, T] in normalized units
+    (train.py:546-551 computes these /ss; de-scale at the call site)."""
+    return jnp.sqrt(jnp.sum((pred_hat_p - pred_p) ** 2, axis=-1))

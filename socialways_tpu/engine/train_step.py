@@ -1,0 +1,186 @@
+"""The jitted unrolled-InfoGAN training step.
+
+Functional re-design of the reference epoch body (train.py:439-560):
+
+- the reference's ``copy.deepcopy(D)`` unrolled-GAN snapshot becomes a pytree
+  value (free — everything is immutable);
+- the D lookahead is a static Python loop of functional Adam steps (the
+  unroll count is a compile-time constant, so XLA sees straight-line code);
+- the same uniform noise tensor drives every D unroll step and the G step
+  (train.py:473), and the fake rollout is computed ONCE — the reference
+  recomputed the identical rollout under no_grad each unroll iteration;
+- D restoration after the G step is configurable (config.d_restore):
+  "full" restores the whole post-first-update D (fixing the reference's
+  Linear-only restore bug, train.py:311-316), "reference" replicates the
+  bug, "none" keeps the unrolled D.  The D optimizer state stays advanced in
+  all modes, matching the reference.
+
+Everything here is shape-static: samples are padded and masked, so one
+compiled step serves every chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.engine.losses import (
+    l2_traj_loss,
+    lsgan_d_loss,
+    lsgan_g_loss,
+    masked_mse,
+    traj_errors,
+    variety_loss,
+)
+from socialways_tpu.models.discriminator import (
+    discriminator_apply,
+    restore_linear_only,
+)
+from socialways_tpu.models.generator import generator_rollout
+from socialways_tpu.ops.traj import get_traj_4d
+
+
+class TrainState(NamedTuple):
+    g_params: Dict
+    d_params: Dict
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+
+
+class StepMetrics(NamedTuple):
+    d_loss: jnp.ndarray
+    g_loss: jnp.ndarray
+    ade_sum: jnp.ndarray   # Σ per-sample mean-over-time error (normalized units)
+    fde_sum: jnp.ndarray   # Σ per-sample final-step error
+    n_samples: jnp.ndarray
+
+
+def make_optimizers(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
+                                               optax.GradientTransformation]:
+    g_tx = optax.adam(cfg.lr_g, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    d_tx = optax.adam(cfg.lr_d, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    return g_tx, d_tx
+
+
+def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
+    from socialways_tpu.models.generator import init_generator
+    from socialways_tpu.models.discriminator import init_discriminator
+
+    kg, kd = jax.random.split(key)
+    g_params = init_generator(kg, cfg)
+    d_params = init_discriminator(kd, cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+    return TrainState(g_params, d_params, g_tx.init(g_params),
+                      d_tx.init(d_params))
+
+
+def gan_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    cfg: TrainConfig,
+) -> Tuple[TrainState, StepMetrics]:
+    """One GAN update on a padded scene chunk.
+
+    batch: obsvs [N, n_past, 2], preds [N, n_next, 2], scene_ids [N],
+    valid [N] bool.
+    """
+    g_tx, d_tx = make_optimizers(cfg)
+    obsv, pred = batch["obsvs"], batch["preds"]
+    scene_ids, valid = batch["scene_ids"], batch["valid"]
+    n = obsv.shape[0]
+
+    k_noise, k_zero, k_one, k_var = jax.random.split(rng, 4)
+    # uniform [0,1) noise, shared by all D unroll steps and the G step
+    noise = jax.random.uniform(k_noise, (n, cfg.noise_len), obsv.dtype)
+    # one label-smoothing scalar per batch (train.py:471-472)
+    zeros_t = jnp.zeros((n, 1), obsv.dtype) + jax.random.uniform(
+        k_zero, (), obsv.dtype, 0.0, 0.1)
+    ones_t = jnp.ones((n, 1), obsv.dtype) * jax.random.uniform(
+        k_one, (), obsv.dtype, 0.9, 1.0)
+
+    obsv_4d, pred_4d = get_traj_4d(obsv, pred)
+
+    def rollout(g_params, z):
+        return generator_rollout(g_params, obsv, z, cfg.n_next, scene_ids,
+                                 cfg.use_social, cfg.decoder)
+
+    # fake rollout for the D phase — same value every unroll iteration in
+    # the reference (same noise, same G), so compute once and detach
+    pred_hat_4d_d = jax.lax.stop_gradient(rollout(state.g_params, noise))
+
+    # ---------------- D phase: n_unrolling_steps + 1 updates --------------
+    def d_loss_fn(d_params):
+        fake_label, fake_code = discriminator_apply(d_params, obsv_4d,
+                                                    pred_hat_4d_d)
+        real_label, _ = discriminator_apply(d_params, obsv_4d, pred_4d)
+        return lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
+                            zeros_t, ones_t, cfg.use_info_loss,
+                            cfg.loss_info_w, cfg.n_latent_codes)
+
+    d_params, d_opt = state.d_params, state.d_opt
+    d_backup = None
+    d_loss_first = jnp.zeros((), obsv.dtype)
+    for u in range(cfg.n_unrolling_steps + 1):
+        d_loss_u, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        if u == 0:
+            d_loss_first = d_loss_u
+            if cfg.n_unrolling_steps > 0:
+                d_backup = d_params  # snapshot after the first update
+
+    # ---------------- G phase against the unrolled D -----------------------
+    def g_loss_fn(g_params):
+        pred_hat_4d = rollout(g_params, noise)
+        gen_label, gen_code = discriminator_apply(d_params, obsv_4d,
+                                                  pred_hat_4d)
+        loss = lsgan_g_loss(gen_label, gen_code, noise, valid, ones_t,
+                            cfg.use_info_loss, cfg.loss_info_w,
+                            cfg.n_latent_codes)
+        if cfg.use_l2_loss:
+            loss = loss + cfg.loss_l2_w * l2_traj_loss(
+                pred_hat_4d[..., :2], pred, valid)
+        if cfg.use_variety_loss:
+            ks = jax.random.split(k_var, cfg.variety_k)
+            pred_k = jax.vmap(lambda kk: rollout(
+                g_params, jax.random.uniform(kk, noise.shape, obsv.dtype))
+            )(ks)
+            loss = loss + cfg.loss_l2_w * variety_loss(
+                pred_k[..., :2], pred, valid)
+        return loss, pred_hat_4d
+
+    (g_loss, pred_hat_4d), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(state.g_params)
+    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    # ---------------- restore D (unrolled-GAN bookkeeping) -----------------
+    if cfg.n_unrolling_steps > 0 and d_backup is not None:
+        if cfg.d_restore == "full":
+            d_params = d_backup
+        elif cfg.d_restore == "reference":
+            d_params = restore_linear_only(d_backup, d_params)
+        # "none": keep the unrolled D
+
+    # ---------------- metrics (train.py:546-551) ---------------------------
+    err = traj_errors(pred_hat_4d[..., :2], pred)          # [N, T]
+    err = jnp.where(valid[:, None], err, 0.0)
+    metrics = StepMetrics(
+        d_loss=d_loss_first,
+        g_loss=g_loss,
+        ade_sum=jnp.sum(err) / cfg.n_next,
+        fde_sum=jnp.sum(err[:, -1]),
+        n_samples=jnp.sum(valid).astype(jnp.int32),
+    )
+    new_state = TrainState(g_params, d_params, g_opt, d_opt)
+
+    # fully-padded chunks (mesh-divisibility filler) must be no-ops
+    any_valid = jnp.any(valid)
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(any_valid, new, old), new_state, state)
+    return new_state, metrics

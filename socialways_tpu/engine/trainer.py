@@ -1,0 +1,157 @@
+"""Epoch-on-device trainer.
+
+The reference's epoch is a Python loop of eager ops over ragged chunks
+(train.py:446-554); dispatch overhead dominates at this model size.  Here an
+entire epoch is ONE device program: packed chunks live on device as
+[n_chunks, width, ...] arrays and ``lax.scan`` drives the GAN step over the
+chunk axis, so the host touches the device once per epoch.
+
+A host-side per-chunk loop (``epoch_on_device=False``) is kept for debugging.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.data.dataset import (
+    PackedBatches,
+    TrajectoryDataset,
+    pack_scene_batches,
+)
+from socialways_tpu.engine.train_step import (
+    StepMetrics,
+    TrainState,
+    gan_step,
+    init_train_state,
+)
+from socialways_tpu.eval.metrics import EvalSums, eval_chunk, finalize_eval
+
+
+def _packed_to_device(packed: PackedBatches) -> Dict[str, jnp.ndarray]:
+    return {
+        "obsvs": jnp.asarray(packed.obsvs),
+        "preds": jnp.asarray(packed.preds),
+        "scene_ids": jnp.asarray(packed.scene_ids),
+        "valid": jnp.asarray(packed.valid),
+    }
+
+
+def _chunk(batches: Dict[str, jnp.ndarray], i) -> Dict[str, jnp.ndarray]:
+    return {k: v[i] for k, v in batches.items()}
+
+
+class Trainer:
+    """Owns packed train/test data on device plus the compiled programs."""
+
+    def __init__(self, cfg: TrainConfig, dataset: TrajectoryDataset,
+                 pad_chunks_to: Optional[int] = None):
+        self.cfg = cfg.replace(n_past=dataset.n_past, n_next=dataset.n_next)
+        self.dataset = dataset
+
+        nt = dataset.n_train_samples
+        self.train_packed = pack_scene_batches(
+            dataset.obsvs[:nt], dataset.preds[:nt], dataset.train_batches,
+            cfg.batch_size, pad_chunks_to=pad_chunks_to)
+        if len(dataset.test_batches):
+            test_batches = dataset.test_batches - dataset.test_batches[0][0]
+            self.test_packed = pack_scene_batches(
+                dataset.obsvs[nt:], dataset.preds[nt:], test_batches,
+                cfg.batch_size, pad_chunks_to=pad_chunks_to)
+        else:
+            self.test_packed = None
+
+        self._train_dev = _packed_to_device(self.train_packed)
+        self._test_dev = (_packed_to_device(self.test_packed)
+                          if self.test_packed else None)
+
+        cfg_static = self.cfg
+        self._step = jax.jit(
+            functools.partial(gan_step, cfg=cfg_static))
+        self._epoch = jax.jit(self._epoch_fn)
+        self._eval_chunk = jax.jit(
+            functools.partial(eval_chunk, cfg=cfg_static),
+            static_argnames=("k",))
+
+    # ------------------------------------------------------------- init
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        return init_train_state(key, self.cfg)
+
+    # ------------------------------------------------------------ train
+    def _epoch_fn(self, state: TrainState, batches: Dict[str, jnp.ndarray],
+                  rng: jax.Array) -> Tuple[TrainState, StepMetrics]:
+        n_chunks = batches["obsvs"].shape[0]
+        keys = jax.random.split(rng, n_chunks)
+
+        def body(carry, xs):
+            chunk, key = xs
+            new_state, metrics = gan_step(carry, chunk, key, self.cfg)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        summed = StepMetrics(
+            d_loss=jnp.mean(metrics.d_loss),
+            g_loss=jnp.mean(metrics.g_loss),
+            ade_sum=jnp.sum(metrics.ade_sum),
+            fde_sum=jnp.sum(metrics.fde_sum),
+            n_samples=jnp.sum(metrics.n_samples),
+        )
+        return state, summed
+
+    def train_epoch(self, state: TrainState, rng: jax.Array
+                    ) -> Tuple[TrainState, Dict[str, float]]:
+        tic = time.perf_counter()
+        if self.cfg.epoch_on_device:
+            state, m = self._epoch(state, self._train_dev, rng)
+        else:
+            n_chunks = self.train_packed.n_chunks
+            keys = jax.random.split(rng, n_chunks)
+            sums = None
+            for i in range(n_chunks):
+                state, m_i = self._step(state, _chunk(self._train_dev, i),
+                                        keys[i])
+                sums = m_i if sums is None else StepMetrics(
+                    d_loss=sums.d_loss + m_i.d_loss,
+                    g_loss=sums.g_loss + m_i.g_loss,
+                    ade_sum=sums.ade_sum + m_i.ade_sum,
+                    fde_sum=sums.fde_sum + m_i.fde_sum,
+                    n_samples=sums.n_samples + m_i.n_samples,
+                )
+            m = sums
+        jax.block_until_ready(state.g_params)
+        toc = time.perf_counter()
+
+        n = max(int(m.n_samples), 1)
+        ss = self.dataset.ss
+        return state, {
+            "d_loss": float(m.d_loss),
+            "g_loss": float(m.g_loss),
+            "train_ade": float(m.ade_sum) / ss / n,
+            "train_fde": float(m.fde_sum) / ss / n,
+            "epoch_time_s": toc - tic,
+            "steps": self.train_packed.n_chunks,
+        }
+
+    # ------------------------------------------------------------- eval
+    def evaluate(self, state: TrainState, rng: jax.Array,
+                 n_gen_samples: Optional[int] = None) -> Dict[str, float]:
+        if self._test_dev is None:
+            return {}
+        k = n_gen_samples or self.cfg.n_gen_samples
+        n_chunks = self.test_packed.n_chunks
+        keys = jax.random.split(rng, n_chunks)
+        total = None
+        for i in range(n_chunks):
+            s = self._eval_chunk(state.g_params, _chunk(self._test_dev, i),
+                                 keys[i], k=k)
+            total = s if total is None else EvalSums(
+                *(a + b for a, b in zip(total, s)))
+        return finalize_eval(total, self.dataset.ss,
+                             self.dataset.n_test_samples)

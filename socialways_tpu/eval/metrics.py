@@ -1,0 +1,85 @@
+"""Evaluation: vmapped K-sample ADE/FDE (average and min-of-K).
+
+Parity with the reference ``test()`` (train.py:563-616), with the serial
+``for kk in range(n_gen_samples)`` loop replaced by a single ``vmap`` over K
+noise draws — one device program evaluates all samples of a chunk under all
+K draws at once.
+
+Errors are per-sample, per-step Euclidean distances in normalized units;
+divide by ``ss`` (Scale.sx) at the call site for meters, as the reference
+does (train.py:587).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.models.generator import generator_rollout
+
+
+class EvalSums(NamedTuple):
+    ade_avg: jnp.ndarray
+    fde_avg: jnp.ndarray
+    ade_min: jnp.ndarray
+    fde_min: jnp.ndarray
+    n_samples: jnp.ndarray
+
+
+def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
+                     scene_ids: jnp.ndarray, rng: jax.Array, k: int,
+                     cfg: TrainConfig) -> jnp.ndarray:
+    """K stochastic rollouts: [K, N, n_next, 4]."""
+    n = obsv.shape[0]
+    noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
+    return jax.vmap(
+        lambda z: generator_rollout(g_params, obsv, z, cfg.n_next, scene_ids,
+                                    cfg.use_social, cfg.decoder)
+    )(noise_k)
+
+
+def k_sample_errors(pred_hat_k: jnp.ndarray, pred: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """[K, N, T, {2,4}] predictions vs [N, T, 2] truth → [K, N, T] errors."""
+    d = pred_hat_k[..., :2] - pred[None, ..., :2]
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+def eval_chunk(g_params: Dict, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+               k: int, cfg: TrainConfig) -> EvalSums:
+    """Min-of-K / avg-of-K ADE & FDE sums over one padded chunk
+    (train.py:602-607 semantics)."""
+    valid = batch["valid"]
+    pred_hat_k = k_sample_rollout(g_params, batch["obsvs"],
+                                  batch["scene_ids"], rng, k, cfg)
+    err = k_sample_errors(pred_hat_k, batch["preds"])      # [K, N, T]
+
+    ade_per_k = jnp.mean(err, axis=-1)                     # [K, N]
+    fde_per_k = err[..., -1]                               # [K, N]
+
+    def msum(x):
+        return jnp.sum(jnp.where(valid, x, 0.0))
+
+    return EvalSums(
+        ade_avg=msum(jnp.mean(ade_per_k, axis=0)),
+        fde_avg=msum(jnp.mean(fde_per_k, axis=0)),
+        ade_min=msum(jnp.min(ade_per_k, axis=0)),
+        fde_min=msum(jnp.min(fde_per_k, axis=0)),
+        n_samples=jnp.sum(valid).astype(jnp.int32),
+    )
+
+
+def finalize_eval(sums: EvalSums, ss: float, n_test_samples: int
+                  ) -> Dict[str, float]:
+    """Convert summed normalized errors to per-sample meters
+    (train.py:611-614)."""
+    denom = ss * n_test_samples
+    return {
+        "ade_avg": float(sums.ade_avg) / denom,
+        "fde_avg": float(sums.fde_avg) / denom,
+        "ade_min": float(sums.ade_min) / denom,
+        "fde_min": float(sums.fde_min) / denom,
+    }

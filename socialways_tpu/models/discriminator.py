@@ -1,0 +1,71 @@
+"""Discriminator with InfoGAN Q-head.
+
+Architecture parity with the reference ``Discriminator`` (train.py:272-316):
+
+- observation branch: LSTM(4→h) over the observed 4-D sequence, last output
+  through FC h→h/2 (LReLU 0.2) → h/2;
+- prediction branch: the whole predicted 4-D trajectory flattened (n_next·4)
+  through FC →h/2 (LReLU 0.2) → h/2;
+- concat → classifier FC h→h/2 (LReLU) →1 (NO sigmoid — LSGAN losses) and a
+  latent decoder (Q-head) FC h→h/2 (LReLU) →n_latent_codes.
+
+The reference's ``load(backup)`` (train.py:311-316) restored only nn.Linear
+weights after GAN unrolling, leaking LSTM weights; here restoration is a
+pytree swap in the engine, with both behaviors available (config.d_restore).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.ops.lstm import lstm_init, lstm_seq, zero_state
+from socialways_tpu.ops.nn import leaky_relu, linear_apply, mlp_init
+
+
+def init_discriminator(key: jax.Array, cfg: TrainConfig,
+                       dtype=jnp.float32) -> Dict:
+    h = cfg.hidden_size
+    keys = jax.random.split(key, 5)
+    return {
+        "obsv_lstm": lstm_init(keys[0], 4, h, dtype),
+        "obsv_fc": mlp_init(keys[1], [h, h // 2, h // 2], dtype),
+        "pred_fc": mlp_init(keys[2], [cfg.n_next * 4, h // 2, h // 2], dtype),
+        "classifier": mlp_init(keys[3], [h, h // 2, 1], dtype),
+        "latent_dec": mlp_init(keys[4], [h, h // 2, cfg.n_latent_codes],
+                               dtype),
+    }
+
+
+def _fc2(layers: list, x: jnp.ndarray) -> jnp.ndarray:
+    """Two linears with LeakyReLU(0.2) between (the reference's FC blocks)."""
+    return linear_apply(layers[1], leaky_relu(linear_apply(layers[0], x)))
+
+
+def discriminator_apply(params: Dict, obsv_4d: jnp.ndarray,
+                        pred_4d: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """obsv_4d [N, n_past, 4], pred_4d [N, n_next, 4] →
+    (label [N, 1], code_hat [N, n_latent_codes])."""
+    n = obsv_4d.shape[0]
+    hidden = params["obsv_lstm"]["w"].shape[1] // 4
+    ys, _ = lstm_seq(params["obsv_lstm"], obsv_4d,
+                     zero_state(n, hidden, obsv_4d.dtype))
+    obsv_code = _fc2(params["obsv_fc"], ys[:, -1])
+    pred_code = _fc2(params["pred_fc"], pred_4d.reshape(n, -1))
+    both = jnp.concatenate([obsv_code, pred_code], axis=-1)
+    label = _fc2(params["classifier"], both)
+    code_hat = _fc2(params["latent_dec"], both)
+    return label, code_hat
+
+
+def restore_linear_only(backup: Dict, current: Dict) -> Dict:
+    """Replicate the reference's buggy partial restore (train.py:311-316):
+    take FC weights from ``backup`` but keep ``current``'s LSTM weights."""
+    out = dict(current)
+    for k in ("obsv_fc", "pred_fc", "classifier", "latent_dec"):
+        out[k] = jax.tree_util.tree_map(lambda x: x, backup[k])
+    return out

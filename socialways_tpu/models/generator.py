@@ -1,0 +1,158 @@
+"""Generator: LSTM path encoder + social attention + autoregressive decoder.
+
+Architecture parity with the reference generator (train.py:245-269, 320-366,
+392-432), re-designed as one pure function:
+
+- the 12-step autoregressive rollout is a single ``lax.scan`` whose carry is
+  (lstm h, lstm c, last position) — the reference instead mutates the
+  encoder's hidden state through 12 eager ``encoder()`` calls;
+- social features are computed once from the last observed frame and never
+  refreshed during decode (train.py:409-413 — a deliberate reference
+  behavior we replicate);
+- decode feeds each prediction back through the SAME encoder LSTM
+  (train.py:430), so the encoder params serve both sequence encoding and
+  step updates.
+
+Decoder dims replicate DecoderFC (train.py:320-335): with input dim
+d = hidden + social + noise, the stack is Linear(d,d)+LReLU,
+Linear(d,d/2)+LReLU, Linear(d/2,d/4), Linear(d/4,2) — note NO activation
+after the third layer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.ops.lstm import lstm_cell, lstm_init, lstm_seq, zero_state
+from socialways_tpu.ops.nn import (
+    leaky_relu,
+    linear_apply,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+)
+from socialways_tpu.ops.social import attention_pool, scene_mask, social_features
+from socialways_tpu.ops.traj import obsv_to_4d
+
+
+def init_generator(key: jax.Array, cfg: TrainConfig, dtype=jnp.float32) -> Dict:
+    """Build the generator param pytree: embed, encoder LSTM, social feature
+    MLP, attention projection, decoder."""
+    h = cfg.hidden_size
+    f = cfg.social_feature_size
+    d = cfg.decoder_input
+    keys = jax.random.split(key, 6)
+    params = {
+        "embed": linear_init(keys[0], 4, h, dtype),
+        "encoder": lstm_init(keys[1], h, h, dtype),
+        # social feature embedding MLP 3→32→64→f with ReLU (train.py:183-185)
+        "feat_mlp": mlp_init(keys[2], [cfg.num_social_features, 32, 64, f],
+                             dtype),
+        "attn_w": linear_init(keys[3], h, f, dtype),
+    }
+    if cfg.decoder == "lstm":
+        # DecoderLstm (train.py:339-366): LSTM(d→h) + FC h→64(Sigmoid)
+        # →64(LReLU)→32(LReLU)→2
+        params["dec_lstm"] = lstm_init(keys[4], d, h, dtype)
+        params["dec_fc"] = mlp_init(keys[5], [h, 64, 64, 32, 2], dtype)
+    else:
+        params["decoder"] = mlp_init(keys[4], [d, d, d // 2, d // 4, 2],
+                                     dtype)
+    return params
+
+
+def _decoder_fc_apply(layers: list, x: jnp.ndarray) -> jnp.ndarray:
+    """DecoderFC: LReLU(0.2) after the first two layers only."""
+    x = leaky_relu(linear_apply(layers[0], x))
+    x = leaky_relu(linear_apply(layers[1], x))
+    x = linear_apply(layers[2], x)
+    x = linear_apply(layers[3], x)
+    return x
+
+
+def _decoder_lstm_fc_apply(layers: list, x: jnp.ndarray) -> jnp.ndarray:
+    """DecoderLstm head: Sigmoid, LReLU, LReLU between layers."""
+    x = jax.nn.sigmoid(linear_apply(layers[0], x))
+    x = leaky_relu(linear_apply(layers[1], x))
+    x = leaky_relu(linear_apply(layers[2], x))
+    return linear_apply(layers[3], x)
+
+
+def encode_observation(params: Dict, obsv_4d: jnp.ndarray):
+    """Run the encoder LSTM over the observed 4-D sequence.
+
+    obsv_4d: [N, T, 4] → (h, c) each [N, hidden]."""
+    n = obsv_4d.shape[0]
+    hidden = params["embed"]["w"].shape[1]
+    emb = linear_apply(params["embed"], obsv_4d)
+    _, state = lstm_seq(params["encoder"], emb, zero_state(n, hidden,
+                                                           obsv_4d.dtype))
+    return state
+
+
+def social_context(params: Dict, obsv_4d: jnp.ndarray, h: jnp.ndarray,
+                   scene_ids: jnp.ndarray) -> jnp.ndarray:
+    """Attention-pooled social context from the last observed frame."""
+    feats = social_features(obsv_4d[:, -1])
+    f_emb = mlp_apply(params["feat_mlp"], feats)
+    return attention_pool(params["attn_w"], f_emb, h,
+                          scene_mask(scene_ids))
+
+
+def generator_rollout(
+    params: Dict,
+    obsv_p: jnp.ndarray,            # [N, n_past, 2] normalized positions
+    noise: jnp.ndarray,             # [N, noise_len]
+    n_next: int,
+    scene_ids: Optional[jnp.ndarray] = None,   # [N] int; None → one scene
+    use_social: bool = False,
+    decoder: str = "fc",
+) -> jnp.ndarray:
+    """Full prediction rollout. Returns pred_4d [N, n_next, 4].
+
+    Mirrors reference ``predict`` (train.py:392-432) with the 12-step loop as
+    ``lax.scan``; carry = (h, c, last position).
+    """
+    n = obsv_p.shape[0]
+    obsv_4d = obsv_to_4d(obsv_p)
+    h, c = encode_observation(params, obsv_4d)
+
+    if use_social:
+        if scene_ids is None:
+            scene_ids = jnp.zeros((n,), jnp.int32)
+        s = social_context(params, obsv_4d, h, scene_ids)
+    else:
+        s = jnp.zeros_like(h)
+
+    dec_state = (zero_state(n, params["dec_lstm"]["w"].shape[1] // 4,
+                            obsv_p.dtype)
+                 if decoder == "lstm" else None)
+
+    def step(carry, _):
+        if decoder == "lstm":
+            h, c, last_p, (dh, dc) = carry
+        else:
+            h, c, last_p = carry
+        inp = jnp.concatenate([h, s, noise], axis=-1)
+        if decoder == "lstm":
+            dh, dc = lstm_cell(params["dec_lstm"], inp, (dh, dc))
+            new_v = _decoder_lstm_fc_apply(params["dec_fc"], dh)
+        else:
+            new_v = _decoder_fc_apply(params["decoder"], inp)
+        new_p = new_v + last_p
+        step_4d = jnp.concatenate([new_p, new_v], axis=-1)
+        # feed the prediction back through the encoder LSTM (train.py:430)
+        h2, c2 = lstm_cell(params["encoder"],
+                           linear_apply(params["embed"], step_4d), (h, c))
+        if decoder == "lstm":
+            return (h2, c2, new_p, (dh, dc)), step_4d
+        return (h2, c2, new_p), step_4d
+
+    init = ((h, c, obsv_p[:, -1], dec_state) if decoder == "lstm"
+            else (h, c, obsv_p[:, -1]))
+    _, pred_4d = jax.lax.scan(step, init, None, length=n_next)
+    return jnp.moveaxis(pred_4d, 0, 1)      # [n_next, N, 4] → [N, n_next, 4]
