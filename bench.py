@@ -1,0 +1,243 @@
+"""Benchmark: GAN train-step throughput vs the PyTorch reference.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Primary metric: full unrolled-InfoGAN training steps/sec/chip at the
+reference's default configuration (hidden 64, batch 256, 1 unrolling step,
+info loss on — train.py:53-84).  One "step" = everything inside the
+reference's per-chunk body: 2 discriminator updates (unroll), 1 generator
+update, metrics.
+
+``vs_baseline`` is the speedup over a faithful PyTorch-eager implementation
+of the same step measured on this host (the reference repo publishes no
+numbers and needs CUDA; at h=64 the reference is dispatch-bound, so CPU
+eager is a close proxy for its single-GPU throughput — see BASELINE.md).
+The proxy measurement is cached in .bench_baseline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_baseline.json")
+
+BATCH = 256
+HIDDEN = 64
+N_PAST, N_NEXT = 8, 12
+N_SCENES = 32          # ~8 agents per scene, ETH/UCY-like
+
+
+def _bench_ours(n_steps: int = 200):
+    import jax
+    import jax.numpy as jnp
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.engine import gan_step, init_train_state
+
+    cfg = TrainConfig(hidden_size=HIDDEN, social_feature_size=HIDDEN,
+                      noise_len=HIDDEN // 2, n_past=N_PAST, n_next=N_NEXT,
+                      batch_size=BATCH, n_unrolling_steps=1,
+                      use_info_loss=True, use_social=False)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "obsvs": jnp.asarray(rng.rand(BATCH, N_PAST, 2).astype(np.float32)),
+        "preds": jnp.asarray(rng.rand(BATCH, N_NEXT, 2).astype(np.float32)),
+        "scene_ids": jnp.asarray(
+            (np.arange(BATCH) % N_SCENES).astype(np.int32)),
+        "valid": jnp.ones((BATCH,), bool),
+    }
+
+    import functools
+    step = jax.jit(functools.partial(gan_step, cfg=cfg))
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, _ = step(state, batch, key)
+    jax.block_until_ready(state)
+
+    tic = time.perf_counter()
+    for i in range(n_steps):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - tic
+    return n_steps / elapsed, jax.devices()[0].platform
+
+
+def _bench_rollout_agent_steps():
+    """Secondary: K=20 stochastic rollout agent-steps/sec (eval workload)."""
+    import jax
+    import jax.numpy as jnp
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.eval.metrics import k_sample_rollout
+
+    cfg = TrainConfig(hidden_size=HIDDEN, social_feature_size=HIDDEN,
+                      noise_len=HIDDEN // 2, n_past=N_PAST, n_next=N_NEXT,
+                      use_social=False)
+    from socialways_tpu.models import init_generator
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    n, k = 1024, 20
+    obsv = jnp.asarray(rng.rand(n, N_PAST, 2).astype(np.float32))
+    ids = jnp.asarray((np.arange(n) % 64).astype(np.int32))
+
+    import functools
+    f = jax.jit(functools.partial(k_sample_rollout, k=k, cfg=cfg))
+    out = f(params, obsv, ids, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    reps = 20
+    tic = time.perf_counter()
+    for i in range(reps):
+        out = f(params, obsv, ids, jax.random.fold_in(jax.random.PRNGKey(1), i))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - tic
+    return reps * k * n * N_NEXT / elapsed
+
+
+def _bench_torch_reference(n_steps: int = 8):
+    """Faithful eager-PyTorch re-statement of the reference's train-step
+    work (train.py:470-539: 4-D prep, (unroll+1)=2 D updates with LSGAN+info
+    losses, 1 G update through a 12-step autoregressive decode), measured on
+    this host as the baseline proxy."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    h = HIDDEN
+
+    class Enc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = nn.Linear(4, h)
+            self.lstm = nn.LSTM(h, h, batch_first=True)
+
+    class Dec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            d = h + h + h // 2
+            self.fc = nn.Sequential(
+                nn.Linear(d, d), nn.LeakyReLU(0.2),
+                nn.Linear(d, d // 2), nn.LeakyReLU(0.2),
+                nn.Linear(d // 2, d // 4), nn.Linear(d // 4, 2))
+
+    class Disc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(4, h, batch_first=True)
+            self.obsv_fc = nn.Sequential(nn.Linear(h, h // 2),
+                                         nn.LeakyReLU(0.2),
+                                         nn.Linear(h // 2, h // 2))
+            self.pred_fc = nn.Sequential(nn.Linear(N_NEXT * 4, h // 2),
+                                         nn.LeakyReLU(0.2),
+                                         nn.Linear(h // 2, h // 2))
+            self.cls = nn.Sequential(nn.Linear(h, h // 2), nn.LeakyReLU(0.2),
+                                     nn.Linear(h // 2, 1))
+            self.q = nn.Sequential(nn.Linear(h, h // 2), nn.LeakyReLU(0.2),
+                                   nn.Linear(h // 2, 2))
+
+        def forward(self, o, p):
+            y, _ = self.lstm(o)
+            both = torch.cat([self.obsv_fc(y[:, -1]),
+                              self.pred_fc(p.reshape(p.shape[0], -1))], 1)
+            return self.cls(both), self.q(both)
+
+    enc, dec, D = Enc(), Dec(), Disc()
+    import itertools
+    g_opt = torch.optim.Adam(itertools.chain(enc.parameters(),
+                                             dec.parameters()), lr=1e-4)
+    d_opt = torch.optim.Adam(D.parameters(), lr=1e-3)
+    mse = nn.MSELoss()
+
+    obsv = torch.rand(BATCH, N_PAST, 2)
+    pred = torch.rand(BATCH, N_NEXT, 2)
+
+    def to4d(o, p):
+        ov = o[:, 1:] - o[:, :-1]
+        ov = torch.cat([ov[:, :1], ov], 1)
+        o4 = torch.cat([o, ov], 2)
+        pp = torch.cat([o[:, -1:], p[:, :-1]], 1)
+        p4 = torch.cat([p, p - pp], 2)
+        return o4, p4
+
+    def predict(noise):
+        o4, _ = to4d(obsv, pred)
+        y, (hh, cc) = enc.lstm(enc.embed(o4))
+        last = obsv[:, -1]
+        outs = []
+        for _ in range(N_NEXT):
+            z = torch.cat([hh[0], torch.zeros(BATCH, h), noise], 1)
+            v = dec.fc(z)
+            p = v + last
+            s4 = torch.cat([p, v], 1)
+            _, (hh, cc) = enc.lstm(enc.embed(s4).unsqueeze(1), (hh, cc))
+            last = p
+            outs.append(s4)
+        return torch.stack(outs, 1)
+
+    def one_step():
+        o4, p4 = to4d(obsv, pred)
+        noise = torch.rand(BATCH, h // 2)
+        zeros = torch.zeros(BATCH, 1) + float(np.random.uniform(0, 0.1))
+        ones = torch.ones(BATCH, 1) * float(np.random.uniform(0.9, 1.0))
+        import copy
+        backup = None
+        for u in range(2):
+            d_opt.zero_grad()
+            with torch.no_grad():
+                fake = predict(noise)
+            fl, code = D(o4, fake)
+            rl, _ = D(o4, p4)
+            d_loss = mse(fl, zeros) + mse(rl, ones) + 0.5 * mse(
+                code, noise[:, :2])
+            d_loss.backward()
+            d_opt.step()
+            if u == 0:
+                backup = copy.deepcopy(D)
+        g_opt.zero_grad()
+        fake = predict(noise)
+        gl, code = D(o4, fake)
+        g_loss = mse(gl, ones) + 0.5 * mse(code, noise[:, :2])
+        g_loss.backward()
+        g_opt.step()
+        D.load_state_dict(backup.state_dict())
+
+    one_step()  # warmup
+    tic = time.perf_counter()
+    for _ in range(n_steps):
+        one_step()
+    return n_steps / (time.perf_counter() - tic)
+
+
+def get_reference_baseline() -> float:
+    if os.path.exists(_BASELINE_CACHE):
+        with open(_BASELINE_CACHE) as fh:
+            return json.load(fh)["torch_eager_steps_per_sec"]
+    sps = _bench_torch_reference()
+    with open(_BASELINE_CACHE, "w") as fh:
+        json.dump({"torch_eager_steps_per_sec": sps}, fh)
+    return sps
+
+
+def main():
+    steps_per_sec, platform = _bench_ours()
+    agent_steps = _bench_rollout_agent_steps()
+    baseline = get_reference_baseline()
+    print(json.dumps({
+        "metric": "gan_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 2),
+        "platform": platform,
+        "config": f"h{HIDDEN}-b{BATCH}-unroll1-info",
+        "rollout_agent_steps_per_sec": round(agent_steps, 1),
+        "baseline_torch_eager_steps_per_sec": round(baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -1,0 +1,315 @@
+"""Command-line entry points.
+
+Replaces the reference's run-at-import script (train.py) with subcommands:
+
+    python -m socialways_tpu.cli.main create-toy --npz toy.npz
+    python -m socialways_tpu.cli.main create-dataset obsmat.txt out.npz
+    python -m socialways_tpu.cli.main train --data toy.npz --epochs 100
+    python -m socialways_tpu.cli.main evaluate --data toy.npz --model ckpt.npz
+    python -m socialways_tpu.cli.main visualize --preds-dir dumps/ --out out.png
+
+Every hard-coded constant of the reference (train.py:53-84) is a flag here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", "--b", type=int, default=256)
+    p.add_argument("--epochs", "--e", type=int, default=1000)
+    p.add_argument("--model", "--m", default="socialWays",
+                   choices=["socialWays"])
+    p.add_argument("--latent-dim", "--ld", type=int, default=10)
+    p.add_argument("--d-learning-rate", "--d-lr", type=float, default=1e-3)
+    p.add_argument("--g-learning-rate", "--g-lr", type=float, default=1e-4)
+    p.add_argument("--unrolling-steps", "--unroll", type=int, default=1)
+    p.add_argument("--hidden-size", "--h-size", type=int, default=64)
+    p.add_argument("--dataset", "--data-name", default="hotel")
+    # the reference's hard-coded FIXME block, exposed:
+    p.add_argument("--use-social", action="store_true",
+                   help="enable the social attention pooling (the paper's "
+                        "mechanism; OFF by default like the reference)")
+    p.add_argument("--no-info-loss", action="store_true")
+    p.add_argument("--info-weight", type=float, default=0.5)
+    p.add_argument("--n-latent-codes", type=int, default=2)
+    p.add_argument("--use-l2-loss", action="store_true")
+    p.add_argument("--use-variety-loss", action="store_true")
+    p.add_argument("--l2-weight", type=float, default=0.5)
+    p.add_argument("--decoder", default="fc", choices=["fc", "lstm"])
+    p.add_argument("--d-restore", default="full",
+                   choices=["full", "reference", "none"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-gen-samples", "--k", type=int, default=20)
+    p.add_argument("--test-interval", type=int, default=5)
+    p.add_argument("--save-interval", type=int, default=50)
+    p.add_argument("--model-dir", default="trained_models")
+    p.add_argument("--dump-dir", default="")
+    p.add_argument("--host-loop", action="store_true",
+                   help="per-chunk host loop instead of epoch-on-device")
+
+
+def _cfg_from_args(args) -> "TrainConfig":
+    from socialways_tpu.config import TrainConfig
+    return TrainConfig(
+        dataset=args.dataset,
+        batch_size=args.batch_size,
+        n_epochs=args.epochs,
+        lr_g=args.g_learning_rate,
+        lr_d=args.d_learning_rate,
+        n_unrolling_steps=args.unrolling_steps,
+        hidden_size=args.hidden_size,
+        social_feature_size=args.hidden_size,
+        noise_len=args.hidden_size // 2,
+        latent_dim=args.latent_dim,
+        use_social=args.use_social,
+        use_info_loss=not args.no_info_loss,
+        loss_info_w=args.info_weight,
+        n_latent_codes=args.n_latent_codes,
+        use_l2_loss=args.use_l2_loss,
+        use_variety_loss=args.use_variety_loss,
+        loss_l2_w=args.l2_weight,
+        decoder=args.decoder,
+        d_restore=args.d_restore,
+        seed=args.seed,
+        n_gen_samples=args.n_gen_samples,
+        test_interval=args.test_interval,
+        save_interval=args.save_interval,
+        model_dir=args.model_dir,
+        dump_dir=args.dump_dir,
+        epoch_on_device=not args.host_loop,
+    )
+
+
+# ------------------------------------------------------------- commands
+def cmd_create_toy(args) -> int:
+    from socialways_tpu.data.toy import (create_toy_samples,
+                                         make_toy_npz_arrays, write_toy_txt)
+    arrays = make_toy_npz_arrays(n_samples=args.n_samples,
+                                 n_conditions=args.n_conditions,
+                                 n_modes=args.n_modes,
+                                 n_per_batch=args.n_per_batch,
+                                 seed=args.seed)
+    if args.npz:
+        np.savez(args.npz, **arrays)
+        print(f"wrote {args.npz}: obsvs {arrays['obsvs'].shape}, "
+              f"{len(arrays['batches'])} scene batches")
+    if args.txt:
+        rng = np.random.RandomState(args.seed)
+        samples, stamps = create_toy_samples(
+            args.n_samples, args.n_conditions, args.n_modes,
+            args.n_per_batch, rng=rng)
+        write_toy_txt(samples, stamps, args.txt)
+        print(f"wrote {args.txt}")
+    return 0
+
+
+def cmd_create_dataset(args) -> int:
+    from socialways_tpu.data import (BIWIParser, SDDParser, SeyfriedParser,
+                                     TrajnetParser, create_dataset)
+    parser_cls = {"biwi": BIWIParser, "trajnet": TrajnetParser,
+                  "sdd": SDDParser, "seyfried": SeyfriedParser}[args.parser]
+    p = parser_cls()
+    p.load(args.input, down_sample=args.down_sample)
+    interval = p.interval if p.interval > 0 else 1
+    t_range = range(int(p.min_t), int(p.max_t), interval)
+    obsvs, preds, times, batches = create_dataset(
+        p.p_data, p.t_data, t_range, n_past=args.n_past, n_next=args.n_next)
+    np.savez(args.output, obsvs=obsvs, preds=preds, times=times,
+             batches=batches)
+    print(f"wrote {args.output}: {obsvs.shape[0]} samples "
+          f"({args.n_past} obs / {args.n_next} pred), "
+          f"{len(batches)} scene batches, interval {interval}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+    from socialways_tpu.data.dataset import load_npz_dataset
+    from socialways_tpu.engine import Trainer
+    from socialways_tpu.io.checkpoint import (checkpoint_exists,
+                                              restore_checkpoint,
+                                              save_checkpoint)
+
+    cfg = _cfg_from_args(args)
+    ds = load_npz_dataset(args.data)
+    trainer = Trainer(cfg, ds)
+    cfg = trainer.cfg  # n_past/n_next filled from data
+
+    model_file = os.path.join(cfg.model_dir,
+                              f"{args.model}-{cfg.dataset}.npz")
+    state = trainer.init_state()
+    rng = jax.random.PRNGKey(cfg.seed)
+    start_epoch = 1
+    if checkpoint_exists(model_file):
+        state, last_epoch, rng, _ = restore_checkpoint(model_file, state)
+        start_epoch = last_epoch + 1
+        print(f"resumed from {model_file} at epoch {last_epoch}")
+
+    print(f"{args.data}  # training samples: {ds.n_train_samples}  "
+          f"chunks: {trainer.train_packed.n_chunks}  "
+          f"width: {trainer.train_packed.width}")
+    print(f"hidden dim = {cfg.hidden_size} | lr(G) = {cfg.lr_g:.5f} | "
+          f"lr(D) = {cfg.lr_d:.5f} | devices: {jax.devices()}")
+
+    for epoch in range(start_epoch, cfg.n_epochs + 1):
+        rng, sub = jax.random.split(rng)
+        state, m = trainer.train_epoch(state, sub)
+        print(f" Epc={epoch:4d}, Train ADE,FDE = ({m['train_ade']:.3f}, "
+              f"{m['train_fde']:.3f}) | time = {m['epoch_time_s']:.2f}s")
+
+        if epoch % cfg.save_interval == 0:
+            save_checkpoint(model_file, state, epoch, rng, ds.scale)
+            print(f"saved checkpoint to {model_file}")
+
+        if epoch % cfg.test_interval == 0 and trainer.test_packed is not None:
+            rng, sub = jax.random.split(rng)
+            ev = trainer.evaluate(state, sub)
+            print(f"Avg ADE,FDE ({cfg.n_next})= ({ev['ade_avg']:.3f}, "
+                  f"{ev['fde_avg']:.3f}) | Min({cfg.n_gen_samples}) ADE,FDE "
+                  f"({cfg.n_next})= ({ev['ade_min']:.3f}, "
+                  f"{ev['fde_min']:.3f})")
+            if cfg.dump_dir:
+                _dump_first_chunk(trainer, state, ds, cfg, epoch, rng)
+    return 0
+
+
+def _dump_first_chunk(trainer, state, ds, cfg, epoch, rng) -> None:
+    from socialways_tpu.eval.metrics import k_sample_rollout
+    from socialways_tpu.io.dumps import dump_predictions
+    from socialways_tpu.ops.traj import predict_cv
+    import jax.numpy as jnp
+
+    chunk = {k: v[0] for k, v in trainer._test_dev.items()}
+    nv = int(trainer.test_packed.n_valid[0])
+    pred_k = k_sample_rollout(state.g_params, chunk["obsvs"],
+                              chunk["scene_ids"], rng, cfg.n_gen_samples,
+                              cfg)
+    lnr = predict_cv(chunk["obsvs"], cfg.n_next)
+    t0 = ds.times[ds.n_train_samples] if len(ds.times) > ds.n_train_samples \
+        else 0
+    wr_dir = os.path.join(cfg.dump_dir, cfg.dataset, "socialWays", str(epoch))
+    f = dump_predictions(wr_dir, epoch, t0,
+                         np.asarray(chunk["obsvs"])[:nv],
+                         np.asarray(pred_k)[:, :nv],
+                         np.asarray(chunk["preds"])[:nv],
+                         np.asarray(lnr)[:nv], ds.scale)
+    print(f"saved predictions to {f}")
+
+
+def cmd_evaluate(args) -> int:
+    import jax
+    from socialways_tpu.data.dataset import load_npz_dataset
+    from socialways_tpu.engine import Trainer
+    from socialways_tpu.io.checkpoint import restore_checkpoint
+
+    cfg = _cfg_from_args(args)
+    ds = load_npz_dataset(args.data)
+    trainer = Trainer(cfg, ds)
+    cfg = trainer.cfg
+
+    state = trainer.init_state()
+    if args.model_file:
+        state, epoch, _, _ = restore_checkpoint(args.model_file, state)
+        print(f"loaded {args.model_file} (epoch {epoch})")
+
+    if args.linear:
+        from socialways_tpu.eval.metrics import k_sample_errors
+        from socialways_tpu.ops.traj import predict_cv
+        import jax.numpy as jnp
+        total_ade = total_fde = 0.0
+        n = 0
+        for i in range(trainer.test_packed.n_chunks):
+            chunk = {k: v[i] for k, v in trainer._test_dev.items()}
+            lnr = predict_cv(chunk["obsvs"], cfg.n_next)
+            err = k_sample_errors(lnr[None], chunk["preds"])[0]
+            valid = np.asarray(chunk["valid"])
+            total_ade += float(np.asarray(jnp.mean(err, -1))[valid].sum())
+            total_fde += float(np.asarray(err[:, -1])[valid].sum())
+            n += int(valid.sum())
+        ss = ds.ss
+        print(f"Linear baseline: ADE,FDE ({cfg.n_next}) = "
+              f"({total_ade / ss / max(n,1):.3f}, "
+              f"{total_fde / ss / max(n,1):.3f})")
+        return 0
+
+    ev = trainer.evaluate(state, jax.random.PRNGKey(cfg.seed),
+                          n_gen_samples=args.n_gen_samples)
+    print(f"Avg ADE,FDE ({cfg.n_next})= ({ev['ade_avg']:.3f}, "
+          f"{ev['fde_avg']:.3f}) | Min({args.n_gen_samples}) ADE,FDE "
+          f"({cfg.n_next})= ({ev['ade_min']:.3f}, {ev['fde_min']:.3f})")
+    return 0
+
+
+def cmd_visualize(args) -> int:
+    from socialways_tpu.viz.heatmap import render_preds_dir
+    out = render_preds_dir(args.preds_dir, args.out,
+                           bg_image=args.bg_image,
+                           homography=args.homography)
+    print(f"wrote {out}")
+    return 0
+
+
+# ------------------------------------------------------------------ main
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="socialways-tpu",
+        description="TPU-native Social Ways trajectory prediction framework")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("create-toy", help="generate the toy dataset")
+    p.add_argument("--npz", default="")
+    p.add_argument("--txt", default="")
+    p.add_argument("--n_conditions", type=int, default=6)
+    p.add_argument("--n_modes", type=int, default=3)
+    p.add_argument("--n_samples", type=int, default=3 * 6 * 12)
+    p.add_argument("--n_per_batch", type=int, default=6)
+    p.add_argument("--seed", type=int, default=30)
+    p.set_defaults(fn=cmd_create_toy)
+
+    p = sub.add_parser("create-dataset",
+                       help="parse raw annotations into a training npz")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--parser", default="biwi",
+                   choices=["biwi", "trajnet", "sdd", "seyfried"])
+    p.add_argument("--n-past", type=int, default=8)
+    p.add_argument("--n-next", type=int, default=12)
+    p.add_argument("--down-sample", type=int, default=1)
+    p.set_defaults(fn=cmd_create_dataset)
+
+    p = sub.add_parser("train", help="train the GAN")
+    p.add_argument("--data", required=True)
+    _add_model_flags(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="evaluate a checkpoint")
+    p.add_argument("--data", required=True)
+    p.add_argument("--model-file", default="")
+    p.add_argument("--linear", action="store_true",
+                   help="evaluate the constant-velocity baseline instead")
+    _add_model_flags(p)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("visualize", help="render prediction heatmaps")
+    p.add_argument("--preds-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bg-image", default="")
+    p.add_argument("--homography", default="")
+    p.set_defaults(fn=cmd_visualize)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

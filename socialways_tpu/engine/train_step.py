@@ -83,11 +83,18 @@ def gan_step(
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
     cfg: TrainConfig,
+    axis_name: str | None = None,
 ) -> Tuple[TrainState, StepMetrics]:
     """One GAN update on a padded scene chunk.
 
     batch: obsvs [N, n_past, 2], preds [N, n_next, 2], scene_ids [N],
     valid [N] bool.
+
+    Under ``shard_map`` pass ``axis_name``: gradients are ``pmean``-ed over
+    the mesh axis (data-parallel — each device holds whole scenes, so the
+    NxN social attention never crosses a device boundary) and metric sums
+    are ``psum``-ed; noise is decorrelated per shard while the per-batch
+    label-smoothing scalars stay identical everywhere.
     """
     g_tx, d_tx = make_optimizers(cfg)
     obsv, pred = batch["obsvs"], batch["preds"]
@@ -95,6 +102,23 @@ def gan_step(
     n = obsv.shape[0]
 
     k_noise, k_zero, k_one, k_var = jax.random.split(rng, 4)
+    if axis_name is not None:
+        idx = jax.lax.axis_index(axis_name)
+        k_noise = jax.random.fold_in(k_noise, idx)
+        k_var = jax.random.fold_in(k_var, idx)
+
+    def _sync_grads(grads):
+        """pmean with per-shard valid-count weighting: exactly equals the
+        single-device masked-mean gradient over the global batch, even when
+        shards carry different amounts of padding."""
+        if axis_name is None:
+            return grads
+        local = jnp.sum(valid).astype(obsv.dtype)
+        n_dev = jax.lax.psum(jnp.ones((), obsv.dtype), axis_name)
+        glob = jax.lax.psum(local, axis_name)
+        w = local * n_dev / jnp.maximum(glob, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g * w, grads)
+        return jax.lax.pmean(grads, axis_name)
     # uniform [0,1) noise, shared by all D unroll steps and the G step
     noise = jax.random.uniform(k_noise, (n, cfg.noise_len), obsv.dtype)
     # one label-smoothing scalar per batch (train.py:471-472)
@@ -127,6 +151,7 @@ def gan_step(
     d_loss_first = jnp.zeros((), obsv.dtype)
     for u in range(cfg.n_unrolling_steps + 1):
         d_loss_u, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        d_grads = _sync_grads(d_grads)
         updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, updates)
         if u == 0:
@@ -156,6 +181,7 @@ def gan_step(
 
     (g_loss, pred_hat_4d), g_grads = jax.value_and_grad(
         g_loss_fn, has_aux=True)(state.g_params)
+    g_grads = _sync_grads(g_grads)
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -181,6 +207,18 @@ def gan_step(
 
     # fully-padded chunks (mesh-divisibility filler) must be no-ops
     any_valid = jnp.any(valid)
+    if axis_name is not None:
+        metrics = StepMetrics(
+            d_loss=jax.lax.pmean(metrics.d_loss, axis_name),
+            g_loss=jax.lax.pmean(metrics.g_loss, axis_name),
+            ade_sum=jax.lax.psum(metrics.ade_sum, axis_name),
+            fde_sum=jax.lax.psum(metrics.fde_sum, axis_name),
+            n_samples=jax.lax.psum(metrics.n_samples, axis_name),
+        )
+        # with pmean'd grads every shard computes identical updates; a chunk
+        # is a no-op only if ALL shards are padding
+        any_valid = jnp.any(
+            jax.lax.all_gather(any_valid, axis_name))
     new_state = jax.tree_util.tree_map(
         lambda new, old: jnp.where(any_valid, new, old), new_state, state)
     return new_state, metrics

@@ -1,0 +1,10 @@
+from socialways_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_dp_eval_chunk,
+    make_dp_train_step,
+    make_mesh,
+    shard_packed_for_mesh,
+)
+
+__all__ = ["DATA_AXIS", "make_dp_eval_chunk", "make_dp_train_step",
+           "make_mesh", "shard_packed_for_mesh"]

@@ -1,0 +1,104 @@
+"""Device mesh + data-parallel training over ICI.
+
+The reference is strictly single-device (SURVEY §2.3: no torch.distributed,
+the whole dataset lives on one GPU).  This module is its TPU-native
+replacement: a 1-D ``data`` mesh, ``shard_map``-ed GAN steps with gradient
+``pmean`` riding ICI collectives, and scene-aligned batch sharding.
+
+Scene alignment is the key invariant: each device receives whole packed
+chunks, so the NxN social attention (which never crosses scene boundaries,
+train.py:163-173) never needs cross-device communication — the only
+collectives in the step are the gradient/metric reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.engine.train_step import StepMetrics, TrainState, gan_step
+from socialways_tpu.eval.metrics import EvalSums, eval_chunk
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices=None) -> Mesh:
+    """1-D mesh over the ``data`` axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_pspec() -> Dict[str, P]:
+    return {k: P(DATA_AXIS) for k in ("obsvs", "preds", "scene_ids", "valid")}
+
+
+def make_dp_train_step(cfg: TrainConfig, mesh: Mesh):
+    """Build the jitted data-parallel GAN step.
+
+    The global batch's leading axis is sharded over ``data``; state and rng
+    are replicated.  Each shard must be scene-aligned (use
+    ``pack_scene_batches`` per shard, or shard the chunk axis).
+    """
+    fn = shard_map(
+        functools.partial(gan_step, cfg=cfg, axis_name=DATA_AXIS),
+        mesh=mesh,
+        in_specs=(P(), batch_pspec(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_dp_eval_chunk(cfg: TrainConfig, mesh: Mesh, k: int):
+    """Data-parallel K-sample eval: batch rows sharded over ``data``; each
+    device evaluates its local rows under all K draws; sums are psum'd."""
+
+    def _eval(g_params, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        sums = eval_chunk(g_params, batch, rng, k, cfg)
+        return EvalSums(*(jax.lax.psum(s, DATA_AXIS) for s in sums))
+
+    fn = shard_map(_eval, mesh=mesh,
+                   in_specs=(P(), batch_pspec(), P()),
+                   out_specs=P(),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def shard_packed_for_mesh(packed, mesh: Mesh):
+    """Pad the chunk axis to a multiple of the mesh size and lay chunks out
+    so that consecutive chunks land on different devices; returns device
+    arrays for a scan over chunk *groups* of size n_dev."""
+    n_dev = mesh.devices.size
+    n = packed.n_chunks
+    pad = (-n) % n_dev
+    def prep(x):
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        # [groups, n_dev * width, ...] — flatten chunk-of-group into the
+        # sample axis so shard_map splits it back per device
+        g = x.shape[0] // n_dev
+        return x.reshape((g, n_dev * x.shape[1]) + x.shape[2:])
+
+    out = {
+        "obsvs": prep(packed.obsvs),
+        "preds": prep(packed.preds),
+        "scene_ids": prep(packed.scene_ids),
+        "valid": prep(packed.valid),
+    }
+    if pad:
+        # padded filler chunks: mark invalid
+        out["scene_ids"][-1, -pad * packed.width:] = -1
+        out["valid"][-1, -pad * packed.width:] = False
+    return {k: jnp.asarray(v) for k, v in out.items()}

@@ -1,0 +1,134 @@
+"""Checkpoint round-trip, prediction dumps, CLI subcommands, viz rendering."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from socialways_tpu.cli.main import main as cli_main
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.engine.train_step import init_train_state
+from socialways_tpu.io.checkpoint import (
+    checkpoint_exists,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from socialways_tpu.data.scale import Scale
+
+CFG = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                  n_past=2, n_next=2)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    rng = jax.random.PRNGKey(42)
+    scale = Scale()
+    scale.min_x, scale.max_x, scale.min_y, scale.max_y = 0., 4., 0., 2.
+    scale.calc_scale()
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, epoch=7, rng=rng, scale=scale)
+    assert checkpoint_exists(path)
+
+    template = init_train_state(jax.random.PRNGKey(99), CFG)  # different init
+    restored, epoch, rng2, scale2 = restore_checkpoint(path, template)
+    assert epoch == 7
+    np.testing.assert_array_equal(jax.random.key_data(rng),
+                                  jax.random.key_data(rng2))
+    assert scale2.sx == scale.sx
+    np.testing.assert_array_equal(
+        np.asarray(restored.g_params["embed"]["w"]),
+        np.asarray(state.g_params["embed"]["w"]))
+    # optimizer state restored too
+    flat_a = jax.tree_util.tree_leaves(restored.g_opt)
+    flat_b = jax.tree_util.tree_leaves(state.g_opt)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, state, 1, jax.random.PRNGKey(0))
+    bigger = init_train_state(jax.random.PRNGKey(0),
+                              CFG.replace(hidden_size=32,
+                                          social_feature_size=32))
+    with pytest.raises(ValueError):
+        restore_checkpoint(path, bigger)
+
+
+def test_cli_create_toy(tmp_path):
+    npz = str(tmp_path / "toy.npz")
+    assert cli_main(["create-toy", "--npz", npz]) == 0
+    d = np.load(npz)
+    assert d["obsvs"].shape == (216, 2, 2)
+
+
+def test_cli_create_dataset(tmp_path):
+    rows = []
+    for aid in (1, 2):
+        for k in range(30):
+            rows.append(f"{10*k}.0 {aid}.0 {0.4*k+aid} 0.0 {2.0*aid-0.3*k} "
+                        "0.4 0.0 -0.3")
+    src = tmp_path / "obsmat.txt"
+    src.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "ds.npz")
+    assert cli_main(["create-dataset", str(src), out]) == 0
+    d = np.load(out)
+    assert d["obsvs"].shape[1:] == (8, 2)
+    assert d["preds"].shape[1:] == (12, 2)
+
+
+def test_cli_train_evaluate_round_trip(tmp_path, toy_npz):
+    model_dir = str(tmp_path / "models")
+    args = ["train", "--data", toy_npz, "--epochs", "2", "--h-size", "16",
+            "--model-dir", model_dir, "--save-interval", "1",
+            "--test-interval", "1", "--dataset", "toy",
+            "--dump-dir", str(tmp_path / "dumps")]
+    assert cli_main(args) == 0
+    ckpt = os.path.join(model_dir, "socialWays-toy.npz")
+    assert os.path.isfile(ckpt)
+    # dumps written with the reference schema
+    dump_root = str(tmp_path / "dumps" / "toy" / "socialWays")
+    files = [f for _, _, fs in os.walk(dump_root) for f in fs]
+    assert files, "no prediction dumps written"
+    d = np.load(os.path.join(dump_root, "1",
+                             sorted(files)[0]))
+    for key in ("timestamp", "obsvs", "preds_our", "preds_gtt", "preds_lnr"):
+        assert key in d
+    assert d["preds_our"].ndim == 4
+
+    # resume continues from epoch 3
+    assert cli_main(["train", "--data", toy_npz, "--epochs", "3",
+                     "--h-size", "16", "--model-dir", model_dir,
+                     "--save-interval", "1", "--test-interval", "10",
+                     "--dataset", "toy"]) == 0
+
+    assert cli_main(["evaluate", "--data", toy_npz, "--model-file", ckpt,
+                     "--h-size", "16", "--k", "4"]) == 0
+    assert cli_main(["evaluate", "--data", toy_npz, "--linear",
+                     "--h-size", "16"]) == 0
+
+
+def test_viz_render(tmp_path, toy_npz):
+    from socialways_tpu.io.dumps import dump_predictions
+    from socialways_tpu.viz.heatmap import render_preds_dir
+
+    rng = np.random.RandomState(0)
+    n, k = 6, 8
+    obsvs = rng.rand(n, 2, 2).astype(np.float32) - 0.5
+    preds_our = rng.rand(k, n, 2, 2).astype(np.float32) - 0.5
+    preds = rng.rand(n, 2, 2).astype(np.float32) - 0.5
+    dump_dir = str(tmp_path / "preds" / "5")
+    dump_predictions(dump_dir, 5, 0, obsvs, preds_our, preds, preds)
+
+    out_dir = str(tmp_path / "figs")
+    render_preds_dir(str(tmp_path / "preds"), out_dir)
+    pngs = os.listdir(out_dir)
+    assert pngs == ["00005.png"]
+    import cv2
+    im = cv2.imread(os.path.join(out_dir, pngs[0]))
+    assert im.shape == (480, 480, 3)
+    # something was drawn (not a uniform canvas)
+    assert im.std() > 1.0
