@@ -246,6 +246,28 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    from socialways_tpu.eval.stats import calc_and_store_stats, load_real_samples
+    real = load_real_samples(args.real_npz, group=args.group)
+    per_epoch = calc_and_store_stats(args.preds_dir, real,
+                                     num_samples=args.num_samples)
+    for epoch in sorted(per_epoch):
+        one_nn, emd = per_epoch[epoch]
+        print(f"epoch = {epoch}, EMD = {emd:.5f}, 1nn = {one_nn:.5f}")
+    print(f"cached to {os.path.join(args.preds_dir, f'stats{args.num_samples}.npz')}")
+    return 0
+
+
+def cmd_animate(args) -> int:
+    from socialways_tpu.viz.animation import ToyAnimation
+    d = np.load(args.npz)
+    samples = np.concatenate([d["obsvs"], d["preds"]], axis=1)
+    anim = ToyAnimation(samples, duration_s=args.duration, seed=args.seed)
+    anim.save(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from socialways_tpu.viz.heatmap import render_preds_dir
     out = render_preds_dir(args.preds_dir, args.out,
@@ -302,6 +324,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bg-image", default="")
     p.add_argument("--homography", default="")
     p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("stats",
+                       help="EMD + 1-NN distribution stats over dumps")
+    p.add_argument("--preds-dir", required=True)
+    p.add_argument("--real-npz", required=True,
+                   help="dataset npz providing the real sample sets")
+    p.add_argument("--num-samples", type=int, default=20)
+    p.add_argument("--group", type=int, default=6,
+                   help="pedestrians per real sample set")
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("animate", help="toy-dataset gif animation")
+    p.add_argument("--npz", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--duration", type=int, default=5)
+    p.set_defaults(fn=cmd_animate)
 
     return ap
 

@@ -131,7 +131,8 @@ def gan_step(
 
     def rollout(g_params, z):
         return generator_rollout(g_params, obsv, z, cfg.n_next, scene_ids,
-                                 cfg.use_social, cfg.decoder)
+                                 cfg.use_social, cfg.decoder,
+                                 cfg.use_pallas)
 
     # fake rollout for the D phase — same value every unroll iteration in
     # the reference (same noise, same G), so compute once and detach

@@ -32,12 +32,18 @@ class EvalSums(NamedTuple):
 def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
                      scene_ids: jnp.ndarray, rng: jax.Array, k: int,
                      cfg: TrainConfig) -> jnp.ndarray:
-    """K stochastic rollouts: [K, N, n_next, 4]."""
+    """K stochastic rollouts: [K, N, n_next, 4].
+
+    The observation encoding and social pooling are noise-independent, so
+    they run once; only the autoregressive decode is vmapped over K."""
+    from socialways_tpu.models.generator import decode_rollout, prepare_rollout
+
     n = obsv.shape[0]
     noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
+    prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
+                           cfg.use_pallas)
     return jax.vmap(
-        lambda z: generator_rollout(g_params, obsv, z, cfg.n_next, scene_ids,
-                                    cfg.use_social, cfg.decoder)
+        lambda z: decode_rollout(g_params, prep, z, cfg.n_next, cfg.decoder)
     )(noise_k)
 
 

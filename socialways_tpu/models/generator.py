@@ -95,41 +95,59 @@ def encode_observation(params: Dict, obsv_4d: jnp.ndarray):
 
 
 def social_context(params: Dict, obsv_4d: jnp.ndarray, h: jnp.ndarray,
-                   scene_ids: jnp.ndarray) -> jnp.ndarray:
+                   scene_ids: jnp.ndarray,
+                   use_pallas: bool = False) -> jnp.ndarray:
     """Attention-pooled social context from the last observed frame."""
+    if use_pallas:
+        from socialways_tpu.kernels.social_attention import social_attention
+        return social_attention(
+            {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]},
+            obsv_4d[:, -1], h, scene_ids, use_pallas=True)
     feats = social_features(obsv_4d[:, -1])
     f_emb = mlp_apply(params["feat_mlp"], feats)
     return attention_pool(params["attn_w"], f_emb, h,
                           scene_mask(scene_ids))
 
 
-def generator_rollout(
+def prepare_rollout(
     params: Dict,
     obsv_p: jnp.ndarray,            # [N, n_past, 2] normalized positions
-    noise: jnp.ndarray,             # [N, noise_len]
-    n_next: int,
-    scene_ids: Optional[jnp.ndarray] = None,   # [N] int; None → one scene
+    scene_ids: Optional[jnp.ndarray] = None,
     use_social: bool = False,
-    decoder: str = "fc",
-) -> jnp.ndarray:
-    """Full prediction rollout. Returns pred_4d [N, n_next, 4].
-
-    Mirrors reference ``predict`` (train.py:392-432) with the 12-step loop as
-    ``lax.scan``; carry = (h, c, last position).
-    """
+    use_pallas: bool = False,
+):
+    """Noise-independent half of the rollout: encode the observation and
+    pool the social context.  K-sample evaluation computes this ONCE and
+    vmaps only :func:`decode_rollout` over the K noise draws — the reference
+    re-ran the whole encoder K times (train.py:583-585)."""
     n = obsv_p.shape[0]
     obsv_4d = obsv_to_4d(obsv_p)
     h, c = encode_observation(params, obsv_4d)
-
     if use_social:
         if scene_ids is None:
             scene_ids = jnp.zeros((n,), jnp.int32)
-        s = social_context(params, obsv_4d, h, scene_ids)
+        s = social_context(params, obsv_4d, h, scene_ids, use_pallas)
     else:
         s = jnp.zeros_like(h)
+    return h, c, s, obsv_p[:, -1]
 
+
+def decode_rollout(
+    params: Dict,
+    prep,                            # (h, c, s, last_p) from prepare_rollout
+    noise: jnp.ndarray,              # [N, noise_len]
+    n_next: int,
+    decoder: str = "fc",
+) -> jnp.ndarray:
+    """Noise-dependent autoregressive decode. Returns pred_4d [N, n_next, 4].
+
+    Mirrors reference ``predict`` (train.py:392-432) with the 12-step loop
+    as ``lax.scan``; carry = (h, c, last position).
+    """
+    h, c, s, last_p0 = prep
+    n = h.shape[0]
     dec_state = (zero_state(n, params["dec_lstm"]["w"].shape[1] // 4,
-                            obsv_p.dtype)
+                            h.dtype)
                  if decoder == "lstm" else None)
 
     def step(carry, _):
@@ -152,7 +170,22 @@ def generator_rollout(
             return (h2, c2, new_p, (dh, dc)), step_4d
         return (h2, c2, new_p), step_4d
 
-    init = ((h, c, obsv_p[:, -1], dec_state) if decoder == "lstm"
-            else (h, c, obsv_p[:, -1]))
+    init = ((h, c, last_p0, dec_state) if decoder == "lstm"
+            else (h, c, last_p0))
     _, pred_4d = jax.lax.scan(step, init, None, length=n_next)
     return jnp.moveaxis(pred_4d, 0, 1)      # [n_next, N, 4] → [N, n_next, 4]
+
+
+def generator_rollout(
+    params: Dict,
+    obsv_p: jnp.ndarray,
+    noise: jnp.ndarray,
+    n_next: int,
+    scene_ids: Optional[jnp.ndarray] = None,
+    use_social: bool = False,
+    decoder: str = "fc",
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Full prediction rollout (prepare + decode). [N, n_next, 4]."""
+    prep = prepare_rollout(params, obsv_p, scene_ids, use_social, use_pallas)
+    return decode_rollout(params, prep, noise, n_next, decoder)

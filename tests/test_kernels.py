@@ -1,0 +1,89 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the XLA reference ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from socialways_tpu.config import TrainConfig
+from socialways_tpu.kernels.social_attention import (
+    _pallas_forward,
+    _xla_reference,
+)
+from socialways_tpu.models import init_generator
+
+
+def _setup(n, scene_size, key=0, hidden=64):
+    cfg = TrainConfig(hidden_size=hidden, social_feature_size=hidden,
+                      noise_len=hidden // 2)
+    params = init_generator(jax.random.PRNGKey(key), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+    rng = np.random.RandomState(key)
+    x4 = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rng.randn(n, hidden).astype(np.float32))
+    ids = jnp.asarray((np.arange(n) // scene_size).astype(np.int32))
+    return p, x4, h, ids
+
+
+def test_fused_matches_xla_multi_scene():
+    p, x4, h, ids = _setup(200, 10)
+    ref = _xla_reference(p, x4, h, ids)
+    got = _pallas_forward(p, x4, h, ids, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_handles_padding_and_singletons():
+    p, x4, h, ids = _setup(100, 7, key=1)
+    ids = np.asarray(ids).copy()
+    ids[90:] = -1          # padding rows
+    ids[89] = 999          # singleton scene
+    ids = jnp.asarray(ids)
+    got = np.asarray(_pallas_forward(p, x4, h, ids, interpret=True))
+    ref = np.asarray(_xla_reference(p, x4, h, ids))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got[90:], 0.0)
+    np.testing.assert_allclose(got[89], 0.0)
+
+
+def test_fused_gradients_via_xla_bwd():
+    """custom_vjp backward == gradient of the XLA implementation."""
+    from socialways_tpu.kernels.social_attention import social_attention_fused
+
+    p, x4, h, ids = _setup(64, 8, key=2)
+
+    import sys
+    import socialways_tpu.kernels.social_attention  # noqa: F401
+    sa = sys.modules["socialways_tpu.kernels.social_attention"]
+    orig = sa._pallas_forward
+    sa._pallas_forward = lambda *a, **k: orig(*a, interpret=True)
+    try:
+        def loss_fused(hh):
+            return jnp.sum(social_attention_fused(p, x4, hh, ids) ** 2)
+
+        def loss_ref(hh):
+            return jnp.sum(_xla_reference(p, x4, hh, ids) ** 2)
+
+        g1 = jax.grad(loss_fused)(h)
+        g2 = jax.grad(loss_ref)(h)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-4)
+    finally:
+        sa._pallas_forward = orig
+
+
+def test_generator_prepare_decode_equals_monolithic():
+    from socialways_tpu.models.generator import (decode_rollout,
+                                                 generator_rollout,
+                                                 prepare_rollout)
+    cfg = TrainConfig(hidden_size=32, social_feature_size=32, noise_len=16)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    obsv = jnp.asarray(rng.rand(6, 8, 2).astype(np.float32))
+    noise = jnp.asarray(rng.rand(6, 16).astype(np.float32))
+    ids = jnp.asarray(np.array([0, 0, 1, 1, 2, 2], np.int32))
+    mono = generator_rollout(params, obsv, noise, 12, ids, use_social=True)
+    prep = prepare_rollout(params, obsv, ids, use_social=True)
+    split = decode_rollout(params, prep, noise, 12)
+    np.testing.assert_allclose(np.asarray(mono), np.asarray(split),
+                               rtol=1e-6)
