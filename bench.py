@@ -32,7 +32,7 @@ N_PAST, N_NEXT = 8, 12
 N_SCENES = 32          # ~8 agents per scene, ETH/UCY-like
 
 
-def _bench_ours(n_steps: int = 200):
+def _bench_ours(n_steps: int = 50):
     import jax
     import jax.numpy as jnp
     from socialways_tpu.config import TrainConfig
@@ -56,15 +56,20 @@ def _bench_ours(n_steps: int = 200):
     import functools
     step = jax.jit(functools.partial(gan_step, cfg=cfg))
 
-    key = jax.random.PRNGKey(1)
+    # precompute keys: per-iteration fold_in dispatches flood the remote
+    # tunnel; keys are not part of the measured step
+    keys = [jax.random.PRNGKey(i) for i in range(n_steps)]
+    jax.block_until_ready(keys)
     # warmup / compile
-    state, _ = step(state, batch, key)
-    jax.block_until_ready(state)
+    state, _ = step(state, batch, keys[0])
+    float(jnp.sum(state.g_params["embed"]["w"]))
 
     tic = time.perf_counter()
-    for i in range(n_steps):
-        state, m = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state)
+    for k in keys:
+        state, m = step(state, batch, k)
+    # force a host transfer: on remote-tunnel platforms (axon)
+    # block_until_ready can return before execution finishes
+    float(jnp.sum(state.g_params["embed"]["w"]))
     elapsed = time.perf_counter() - tic
     return n_steps / elapsed, jax.devices()[0].platform
 
@@ -88,13 +93,15 @@ def _bench_rollout_agent_steps():
 
     import functools
     f = jax.jit(functools.partial(k_sample_rollout, k=k, cfg=cfg))
-    out = f(params, obsv, ids, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
     reps = 20
+    keys = [jax.random.PRNGKey(i) for i in range(reps)]
+    jax.block_until_ready(keys)
+    out = f(params, obsv, ids, keys[0])
+    float(jnp.sum(out))
     tic = time.perf_counter()
-    for i in range(reps):
-        out = f(params, obsv, ids, jax.random.fold_in(jax.random.PRNGKey(1), i))
-    jax.block_until_ready(out)
+    for kk in keys:
+        out = f(params, obsv, ids, kk)
+    float(jnp.sum(out))   # host transfer = true sync (see _bench_ours)
     elapsed = time.perf_counter() - tic
     return reps * k * n * N_NEXT / elapsed
 

@@ -246,6 +246,56 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_simulate(args) -> int:
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from socialways_tpu.engine.simulate import make_crowd_sim
+    from socialways_tpu.models import init_generator
+
+    cfg = _cfg_from_args(args).replace(
+        use_social=True, n_past=8, n_next=12,
+        use_pallas=not args.no_pallas and jax.default_backend() == "tpu")
+
+    params = init_generator(jax.random.PRNGKey(cfg.seed), cfg)
+    if args.model_file:
+        from socialways_tpu.engine.train_step import init_train_state
+        from socialways_tpu.io.checkpoint import restore_checkpoint
+        state, _, _, _ = restore_checkpoint(args.model_file,
+                                            init_train_state(
+                                                jax.random.PRNGKey(0), cfg))
+        params = state.g_params
+
+    n = args.agents
+    rng = np.random.RandomState(cfg.seed)
+    # agents start on a grid with small random walks as observed history
+    base = rng.rand(n, 1, 2).astype(np.float32)
+    steps = rng.randn(n, cfg.n_past, 2).astype(np.float32) * 0.005
+    obsv0 = jnp.asarray(base + np.cumsum(steps, axis=1))
+    scene_ids = jnp.asarray((np.arange(n) // args.scene_size)
+                            .astype(np.int32))
+
+    sim = make_crowd_sim(cfg, args.windows)
+    out = sim(params, obsv0, scene_ids, jax.random.PRNGKey(1))
+    float(jnp.sum(out))              # compile + true sync (host transfer)
+    tic = time.perf_counter()
+    out = sim(params, obsv0, scene_ids, jax.random.PRNGKey(2))
+    float(jnp.sum(out))
+    dt = time.perf_counter() - tic
+
+    total_steps = n * args.windows * cfg.n_next
+    print(f"simulated {n} agents x {args.windows * cfg.n_next} steps "
+          f"(scenes of {args.scene_size}, social attention on, "
+          f"pallas={cfg.use_pallas}) in {dt * 1e3:.1f} ms "
+          f"= {total_steps / dt / 1e6:.2f}M agent-steps/s")
+    if args.out:
+        np.savez(args.out, trajectories=np.asarray(out))
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     from socialways_tpu.eval.stats import calc_and_store_stats, load_real_samples
     real = load_real_samples(args.real_npz, group=args.group)
@@ -334,6 +384,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--group", type=int, default=6,
                    help="pedestrians per real sample set")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("simulate",
+                       help="large-scale crowd rollout with social attention")
+    p.add_argument("--agents", type=int, default=10000)
+    p.add_argument("--scene-size", type=int, default=16)
+    p.add_argument("--windows", type=int, default=4)
+    p.add_argument("--model-file", default="")
+    p.add_argument("--out", default="", help="optional npz to write")
+    p.add_argument("--no-pallas", action="store_true")
+    _add_model_flags(p)
+    p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("animate", help="toy-dataset gif animation")
     p.add_argument("--npz", required=True)

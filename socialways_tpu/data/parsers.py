@@ -66,12 +66,31 @@ class _BaseParser:
     def _pre_file(self, filename: str) -> None:
         """Per-file hook (e.g. delimiter switching)."""
 
-    def load(self, filename: str, down_sample: Optional[int] = None):
+    #: per-parser column layout for the native table fast path:
+    #: (n_cols_min, id_col, ts_col, px_col, py_col, vx_col, vy_col)
+    #: None disables the fast path for that parser.
+    _table_layout = None
+
+    def load(self, filename: str, down_sample: Optional[int] = None,
+             native: Optional[bool] = None):
+        """Parse ``filename`` (glob patterns supported).
+
+        ``native``: use the C++ table parser (socialways_tpu/native) when
+        the format allows — None (default) auto-detects; the Python
+        line-loop path is the behavioral reference.
+        """
         if down_sample is None:
             down_sample = self.default_down_sample
         pos, vel, tim = {}, {}, {}
         order: List[int] = []
         self.all_ids.clear()
+
+        if native is None:
+            native = self._table_layout is not None
+        if native and self._table_layout is not None:
+            if self._load_native(filename, down_sample, pos, vel, tim, order):
+                self._finalize(pos, vel, tim, order)
+                return self
 
         for file in _expand_glob(filename):
             if not os.path.exists(file):
@@ -98,6 +117,56 @@ class _BaseParser:
                         vel[aid].append((vx, vy))
                     tim[aid].append(ts)
 
+        self._finalize(pos, vel, tim, order)
+        return self
+
+    def _load_native(self, filename: str, down_sample: int, pos, vel, tim,
+                     order) -> bool:
+        """Vectorized load through the C++ table parser.  Returns False to
+        fall back (lib unavailable or layout mismatch)."""
+        from socialways_tpu.native.loader import get_lib, parse_table
+
+        if get_lib() is None:
+            return False
+        ncols, id_c, ts_c, px_c, py_c, vx_c, vy_c = self._table_layout
+        for file in _expand_glob(filename):
+            if not os.path.exists(file):
+                raise ValueError(f"No such file or directory: {file}")
+            self._pre_file(file)
+            table = parse_table(file, self.delimit if self.delimit != " "
+                                else "")
+            if table.shape[0] == 0:
+                continue
+            if table.shape[1] < ncols:
+                return False
+            ts = table[:, ts_c]
+            keep = np.mod(ts, down_sample) == 0
+            table = table[keep]
+            if table.shape[0] == 0:
+                continue
+            ts = table[:, ts_c]
+            self.min_t = min(self.min_t, float(ts.min()))
+            self.max_t = max(self.max_t, float(ts.max()))
+            ids = np.round(table[:, id_c]).astype(np.int64)
+            px, py = self._table_positions(table, px_c, py_c)
+            for aid in ids[np.sort(np.unique(ids, return_index=True)[1])]:
+                aid = int(aid)
+                if aid not in pos:
+                    order.append(aid)
+                    pos[aid], vel[aid], tim[aid] = [], [], []
+                    self.all_ids.append(aid)
+            for k in range(table.shape[0]):
+                aid = int(ids[k])
+                pos[aid].append((px[k], py[k]))
+                if vx_c >= 0:
+                    vel[aid].append((table[k, vx_c], table[k, vy_c]))
+                tim[aid].append(ts[k])
+        return True
+
+    def _table_positions(self, table, px_c, py_c):
+        return table[:, px_c], table[:, py_c]
+
+    def _finalize(self, pos, vel, tim, order) -> None:
         for aid in order:
             self.p_data.append(np.asarray(pos[aid], dtype=np.float64))
             if vel[aid]:
@@ -109,7 +178,6 @@ class _BaseParser:
         for p in self.p_data:
             self.scale.fit(p)
         self.scale.calc_scale(keep_ratio=True)
-        return self
 
     def _post_load(self) -> None:
         """Hook after accumulation (e.g. interval auto-detection)."""
@@ -119,6 +187,7 @@ class TrajnetParser(_BaseParser):
     """TrajNet txt: ``ts id x y`` per row (parse_utils.py:79-147)."""
 
     interval = 6
+    _table_layout = (4, 1, 0, 2, 3, -1, -1)
 
     def _decode(self, row):
         if len(row) < 4:
@@ -138,6 +207,12 @@ class SDDParser(_BaseParser):
 
     interval = 12
     default_down_sample = 12
+    _table_layout = (10, 0, 5, 1, 2, -1, -1)  # px/py computed from bbox
+
+    def _table_positions(self, table, px_c, py_c):
+        px = (np.round(table[:, 1]) + np.round(table[:, 3])) / 2
+        py = (np.round(table[:, 2]) + np.round(table[:, 4])) / 2
+        return px, py
 
     def _pre_file(self, filename: str) -> None:
         self.actual_fps = 2.5
@@ -159,6 +234,7 @@ class BIWIParser(_BaseParser):
     (parse_utils.py:231-320)."""
 
     interval = -1
+    _table_layout = (8, 1, 0, 2, 4, 5, 7)
 
     def _pre_file(self, filename: str) -> None:
         if "zara" in filename:

@@ -34,20 +34,17 @@ def create_dataset(
     obs_list: List[np.ndarray] = []
     pred_list: List[np.ndarray] = []
 
-    # Index timestamps once per agent instead of re-scanning with np.where
-    # three times per (t, agent) pair like the reference (O(T*N*Ti) → O(T*N)).
-    t_index = [{int(ts): k for k, ts in enumerate(td)} for td in t_data]
+    # Window enumeration runs in the native core when built (C++ binary
+    # search per anchor; socialways_tpu/native) with a NumPy fallback —
+    # both produce the reference's anchor-major, then agent order.
+    from socialways_tpu.native.loader import window_indices
 
-    for t in range(t_range.start, t_range.stop, 1):
-        for i, idx in enumerate(t_index):
-            k0 = idx.get(t)
-            kp = idx.get(t - step * n_past)
-            kf = idx.get(t + step * (n_next - 1))
-            if k0 is None or kp is None or kf is None:
-                continue
-            anchor_t.append(t)
-            obs_list.append(p_data[i][kp:k0])
-            pred_list.append(p_data[i][k0:kf + 1])
+    hits = window_indices(list(t_data), t_range.start, t_range.stop, step,
+                          n_past, n_next)
+    for a, kp, k0, kf, t in hits:
+        anchor_t.append(int(t))
+        obs_list.append(p_data[a][kp:k0])
+        pred_list.append(p_data[a][k0:kf + 1])
 
     # group consecutive equal anchors into [start, end) sub-batches
     sub_batches: List[List[int]] = []

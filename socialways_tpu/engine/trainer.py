@@ -125,16 +125,19 @@ class Trainer:
                     n_samples=sums.n_samples + m_i.n_samples,
                 )
             m = sums
-        jax.block_until_ready(state.g_params)
+        # host transfers force true completion (on remote-tunnel platforms
+        # like axon, block_until_ready may return early)
+        n = max(int(m.n_samples), 1)
+        d_loss, g_loss = float(m.d_loss), float(m.g_loss)
+        ade_sum, fde_sum = float(m.ade_sum), float(m.fde_sum)
         toc = time.perf_counter()
 
-        n = max(int(m.n_samples), 1)
         ss = self.dataset.ss
         return state, {
-            "d_loss": float(m.d_loss),
-            "g_loss": float(m.g_loss),
-            "train_ade": float(m.ade_sum) / ss / n,
-            "train_fde": float(m.fde_sum) / ss / n,
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "train_ade": ade_sum / ss / n,
+            "train_fde": fde_sum / ss / n,
             "epoch_time_s": toc - tic,
             "steps": self.train_packed.n_chunks,
         }
