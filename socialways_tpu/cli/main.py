@@ -52,6 +52,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dump-dir", default="")
     p.add_argument("--host-loop", action="store_true",
                    help="per-chunk host loop instead of epoch-on-device")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas kernels (TPU only; long "
+                        "first compile)")
 
 
 def _cfg_from_args(args) -> "TrainConfig":
@@ -83,6 +86,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         model_dir=args.model_dir,
         dump_dir=args.dump_dir,
         epoch_on_device=not args.host_loop,
+        use_pallas=getattr(args, "pallas", False),
     )
 
 

@@ -138,12 +138,17 @@ def decode_rollout(
     noise: jnp.ndarray,              # [N, noise_len]
     n_next: int,
     decoder: str = "fc",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Noise-dependent autoregressive decode. Returns pred_4d [N, n_next, 4].
 
     Mirrors reference ``predict`` (train.py:392-432) with the 12-step loop
-    as ``lax.scan``; carry = (h, c, last position).
+    as ``lax.scan``; carry = (h, c, last position).  With ``use_pallas`` the
+    FC-decoder path runs the fully-fused Pallas kernel (kernels/rollout).
     """
+    if use_pallas and decoder == "fc" and jax.default_backend() == "tpu":
+        from socialways_tpu.kernels.rollout import decode_rollout_fused
+        return decode_rollout_fused(params, prep, noise, n_next)
     h, c, s, last_p0 = prep
     n = h.shape[0]
     dec_state = (zero_state(n, params["dec_lstm"]["w"].shape[1] // 4,
@@ -188,4 +193,4 @@ def generator_rollout(
 ) -> jnp.ndarray:
     """Full prediction rollout (prepare + decode). [N, n_next, 4]."""
     prep = prepare_rollout(params, obsv_p, scene_ids, use_social, use_pallas)
-    return decode_rollout(params, prep, noise, n_next, decoder)
+    return decode_rollout(params, prep, noise, n_next, decoder, use_pallas)
