@@ -55,6 +55,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU only; long "
                         "first compile)")
+    p.add_argument("--fused-epochs", action="store_true",
+                   help="run gcd(test,save)-interval epoch blocks as one "
+                        "device program (fastest; per-epoch prints become "
+                        "per-block)")
 
 
 def _cfg_from_args(args) -> "TrainConfig":
@@ -161,11 +165,21 @@ def cmd_train(args) -> int:
     print(f"hidden dim = {cfg.hidden_size} | lr(G) = {cfg.lr_g:.5f} | "
           f"lr(D) = {cfg.lr_d:.5f} | devices: {jax.devices()}")
 
-    for epoch in range(start_epoch, cfg.n_epochs + 1):
+    import math
+    block = (math.gcd(cfg.save_interval, cfg.test_interval)
+             if args.fused_epochs else 1)
+    epoch = start_epoch - 1
+    while epoch < cfg.n_epochs:
+        n_block = min(block, cfg.n_epochs - epoch) if block > 1 else 1
         rng, sub = jax.random.split(rng)
-        state, m = trainer.train_epoch(state, sub)
+        if n_block > 1:
+            state, m = trainer.train_epochs(state, sub, n_block)
+        else:
+            state, m = trainer.train_epoch(state, sub)
+        epoch += n_block
         print(f" Epc={epoch:4d}, Train ADE,FDE = ({m['train_ade']:.3f}, "
-              f"{m['train_fde']:.3f}) | time = {m['epoch_time_s']:.2f}s")
+              f"{m['train_fde']:.3f}) | time = {m['epoch_time_s']:.2f}s"
+              + (f" ({n_block} fused epochs)" if n_block > 1 else ""))
 
         if epoch % cfg.save_interval == 0:
             save_checkpoint(model_file, state, epoch, rng, ds.scale)
@@ -247,6 +261,22 @@ def cmd_evaluate(args) -> int:
     print(f"Avg ADE,FDE ({cfg.n_next})= ({ev['ade_avg']:.3f}, "
           f"{ev['fde_avg']:.3f}) | Min({args.n_gen_samples}) ADE,FDE "
           f"({cfg.n_next})= ({ev['ade_min']:.3f}, {ev['fde_min']:.3f})")
+    return 0
+
+
+def cmd_eth_ucy(args) -> int:
+    import json
+
+    from socialways_tpu.engine.ethucy import run_leave_one_out
+
+    cfg = _cfg_from_args(args)
+    results = run_leave_one_out(args.data_dir, cfg,
+                                scenes=tuple(args.scenes.split(",")),
+                                fused_block=args.fused_block)
+    if args.out_json:
+        with open(args.out_json, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {args.out_json}")
     return 0
 
 
@@ -388,6 +418,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--group", type=int, default=6,
                    help="pedestrians per real sample set")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("eth-ucy",
+                       help="leave-one-scene-out ETH/UCY benchmark")
+    p.add_argument("--data-dir", required=True,
+                   help="directory with <scene>-8-12.npz files")
+    p.add_argument("--scenes", default="eth,hotel,univ,zara1,zara2")
+    p.add_argument("--fused-block", type=int, default=10)
+    p.add_argument("--out-json", default="")
+    _add_model_flags(p)
+    p.set_defaults(fn=cmd_eth_ucy)
 
     p = sub.add_parser("simulate",
                        help="large-scale crowd rollout with social attention")

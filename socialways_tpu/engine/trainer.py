@@ -75,6 +75,7 @@ class Trainer:
         self._step = jax.jit(
             functools.partial(gan_step, cfg=cfg_static))
         self._epoch = jax.jit(self._epoch_fn)
+        self._epochs = jax.jit(self._epochs_fn, static_argnames=("n",))
         self._eval_chunk = jax.jit(
             functools.partial(eval_chunk, cfg=cfg_static),
             static_argnames=("k",))
@@ -104,6 +105,40 @@ class Trainer:
             n_samples=jnp.sum(metrics.n_samples),
         )
         return state, summed
+
+    def _epochs_fn(self, state: TrainState, rng: jax.Array, n: int
+                   ) -> Tuple[TrainState, StepMetrics]:
+        """``n`` epochs as ONE device program (scan over epochs of the scan
+        over chunks) — zero host round-trips inside the block."""
+        keys = jax.random.split(rng, n)
+
+        def body(carry, key):
+            new_state, m = self._epoch_fn(carry, self._train_dev, key)
+            return new_state, m
+
+        state, ms = jax.lax.scan(body, state, keys)
+        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return state, last
+
+    def train_epochs(self, state: TrainState, rng: jax.Array, n: int
+                     ) -> Tuple[TrainState, Dict[str, float]]:
+        """Run ``n`` epochs fused on device; returns the LAST epoch's
+        metrics (matching what the per-epoch path would print last)."""
+        tic = time.perf_counter()
+        state, m = self._epochs(state, rng, n=n)
+        n_samp = max(int(m.n_samples), 1)
+        d_loss, g_loss = float(m.d_loss), float(m.g_loss)
+        ade_sum, fde_sum = float(m.ade_sum), float(m.fde_sum)
+        toc = time.perf_counter()
+        ss = self.dataset.ss
+        return state, {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "train_ade": ade_sum / ss / n_samp,
+            "train_fde": fde_sum / ss / n_samp,
+            "epoch_time_s": (toc - tic) / n,
+            "steps": self.train_packed.n_chunks * n,
+        }
 
     def train_epoch(self, state: TrainState, rng: jax.Array
                     ) -> Tuple[TrainState, Dict[str, float]]:
