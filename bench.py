@@ -74,6 +74,49 @@ def _bench_ours(n_steps: int = 50):
     return n_steps / elapsed, jax.devices()[0].platform
 
 
+def _bench_ours_scanned(n_steps: int = 200):
+    """Device-side throughput: the trainer's production epoch-on-device
+    mode (lax.scan over GAN steps) — no per-step host dispatch at all."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.engine import gan_step, init_train_state
+
+    cfg = TrainConfig(hidden_size=HIDDEN, social_feature_size=HIDDEN,
+                      noise_len=HIDDEN // 2, n_past=N_PAST, n_next=N_NEXT,
+                      batch_size=BATCH, n_unrolling_steps=1,
+                      use_info_loss=True, use_social=False)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "obsvs": jnp.asarray(rng.rand(BATCH, N_PAST, 2).astype(np.float32)),
+        "preds": jnp.asarray(rng.rand(BATCH, N_NEXT, 2).astype(np.float32)),
+        "scene_ids": jnp.asarray(
+            (np.arange(BATCH) % N_SCENES).astype(np.int32)),
+        "valid": jnp.ones((BATCH,), bool),
+    }
+
+    step = functools.partial(gan_step, cfg=cfg)
+
+    @jax.jit
+    def run(state, keys):
+        def body(s, k):
+            s2, m = step(s, batch, k)
+            return s2, m.g_loss
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+    state2, losses = run(state, keys)
+    float(jnp.sum(losses))                 # compile + true sync
+    tic = time.perf_counter()
+    state2, losses = run(state, keys)
+    float(jnp.sum(losses))
+    elapsed = time.perf_counter() - tic
+    return n_steps / elapsed
+
+
 def _bench_rollout_agent_steps():
     """Secondary: K=20 stochastic rollout agent-steps/sec (eval workload)."""
     import jax
@@ -232,15 +275,19 @@ def get_reference_baseline() -> float:
 
 def main():
     steps_per_sec, platform = _bench_ours()
+    scanned_sps = _bench_ours_scanned()
     agent_steps = _bench_rollout_agent_steps()
     baseline = get_reference_baseline()
+    best = max(steps_per_sec, scanned_sps)
     print(json.dumps({
         "metric": "gan_train_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 2),
+        "value": round(best, 2),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / baseline, 2),
+        "vs_baseline": round(best / baseline, 2),
         "platform": platform,
         "config": f"h{HIDDEN}-b{BATCH}-unroll1-info",
+        "dispatch_loop_steps_per_sec": round(steps_per_sec, 2),
+        "epoch_on_device_steps_per_sec": round(scanned_sps, 2),
         "rollout_agent_steps_per_sec": round(agent_steps, 1),
         "baseline_torch_eager_steps_per_sec": round(baseline, 3),
     }))

@@ -55,6 +55,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU only; long "
                         "first compile)")
+    p.add_argument("--profile-dir", default="",
+                   help="write jax.profiler device traces for the first "
+                        "post-compile epoch to this directory")
     p.add_argument("--fused-epochs", action="store_true",
                    help="run gcd(test,save)-interval epoch blocks as one "
                         "device program (fastest; per-epoch prints become "
@@ -172,7 +175,17 @@ def cmd_train(args) -> int:
     while epoch < cfg.n_epochs:
         n_block = min(block, cfg.n_epochs - epoch) if block > 1 else 1
         rng, sub = jax.random.split(rng)
-        if n_block > 1:
+        if args.profile_dir and epoch == start_epoch + n_block - 1 \
+                and epoch > start_epoch - 1:
+            # profile the 2nd block (1st holds the compile)
+            from socialways_tpu.utils.profiling import trace
+            with trace(args.profile_dir):
+                if n_block > 1:
+                    state, m = trainer.train_epochs(state, sub, n_block)
+                else:
+                    state, m = trainer.train_epoch(state, sub)
+            print(f"wrote profiler trace to {args.profile_dir}")
+        elif n_block > 1:
             state, m = trainer.train_epochs(state, sub, n_block)
         else:
             state, m = trainer.train_epoch(state, sub)
