@@ -55,6 +55,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU only; long "
                         "first compile)")
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off, reference "
+                        "behavior; 1.0 recommended for long runs)")
     p.add_argument("--profile-dir", default="",
                    help="write jax.profiler device traces for the first "
                         "post-compile epoch to this directory")
@@ -94,6 +97,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         dump_dir=args.dump_dir,
         epoch_on_device=not args.host_loop,
         use_pallas=getattr(args, "pallas", False),
+        grad_clip=getattr(args, "grad_clip", 0.0),
     )
 
 
@@ -154,6 +158,9 @@ def cmd_train(args) -> int:
 
     model_file = os.path.join(cfg.model_dir,
                               f"{args.model}-{cfg.dataset}.npz")
+    best_file = os.path.join(cfg.model_dir,
+                             f"{args.model}-{cfg.dataset}-best.npz")
+    best_ade = float("inf")
     state = trainer.init_state()
     rng = jax.random.PRNGKey(cfg.seed)
     start_epoch = 1
@@ -205,6 +212,12 @@ def cmd_train(args) -> int:
                   f"{ev['fde_avg']:.3f}) | Min({cfg.n_gen_samples}) ADE,FDE "
                   f"({cfg.n_next})= ({ev['ade_min']:.3f}, "
                   f"{ev['fde_min']:.3f})")
+            # best-model tracking: the reference initializes min_train_ADE
+            # but never uses it (train.py:636); we keep the best-eval model
+            if ev["ade_min"] < best_ade:
+                best_ade = ev["ade_min"]
+                save_checkpoint(best_file, state, epoch, rng, ds.scale)
+                print(f"new best (ADE {best_ade:.3f}) saved to {best_file}")
             if cfg.dump_dir:
                 _dump_first_chunk(trainer, state, ds, cfg, epoch, rng)
     return 0

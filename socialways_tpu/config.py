@@ -33,6 +33,7 @@ class TrainConfig:
     lr_d: float = 1e-3
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    grad_clip: float = 0.0       # global-norm clip (0 = off, reference parity)
 
     # ---- architecture ----
     hidden_size: int = 64

@@ -61,9 +61,13 @@ class StepMetrics(NamedTuple):
 
 def make_optimizers(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
                                                optax.GradientTransformation]:
-    g_tx = optax.adam(cfg.lr_g, b1=cfg.adam_b1, b2=cfg.adam_b2)
-    d_tx = optax.adam(cfg.lr_d, b1=cfg.adam_b1, b2=cfg.adam_b2)
-    return g_tx, d_tx
+    def tx(lr):
+        adam = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+        if cfg.grad_clip > 0:
+            return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                               adam)
+        return adam
+    return tx(cfg.lr_g), tx(cfg.lr_d)
 
 
 def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
