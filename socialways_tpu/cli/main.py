@@ -290,6 +290,68 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Grid over (n_unrolling_steps, loss_info_w): train each variant,
+    score eval ADE/FDE + toy mode coverage + EMD (the reference compares
+    these variants offline in calc_statistics.py:179-187)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from socialways_tpu.data.dataset import load_npz_dataset
+    from socialways_tpu.engine import Trainer
+    from socialways_tpu.eval.metrics import k_sample_rollout
+    from socialways_tpu.eval.stats import toy_mode_coverage
+
+    base = _cfg_from_args(args)
+    ds = load_npz_dataset(args.data)
+    results = {}
+    for unroll in [int(u) for u in args.unrolls.split(",")]:
+        for info_w in [float(w) for w in args.info_weights.split(",")]:
+            cfg = base.replace(n_unrolling_steps=unroll,
+                               loss_info_w=info_w,
+                               use_info_loss=info_w > 0)
+            tr = Trainer(cfg, ds)
+            state = tr.init_state()
+            rng = jax.random.PRNGKey(cfg.seed)
+            done = 0
+            block = 2000
+            while done < args.sweep_epochs:
+                n_blk = min(block, args.sweep_epochs - done)
+                rng, sub = jax.random.split(rng)
+                state, m = tr.train_epochs(state, sub, n_blk)
+                done += n_blk
+            rng, sub = jax.random.split(rng)
+            ev = tr.evaluate(state, sub)
+
+            # mode coverage over the test portion
+            nt = ds.n_train_samples
+            obs = jnp.asarray(ds.obsvs[nt:nt + 64])
+            ids = jnp.zeros((obs.shape[0],), jnp.int32)
+            rng, sub = jax.random.split(rng)
+            pk = k_sample_rollout(state.g_params, obs, ids, sub,
+                                  args.coverage_k, tr.cfg)
+            cov = toy_mode_coverage(
+                ds.scale.denormalize(np.asarray(obs)),
+                ds.scale.denormalize(np.asarray(pk[..., :2])))
+
+            key = f"unroll{unroll}-info{info_w}"
+            results[key] = {**ev, "mode_coverage": cov,
+                            "final_train_ade": m["train_ade"]}
+            print(f"{key}: ADE/FDE min-{base.n_gen_samples} = "
+                  f"{ev['ade_min']:.3f}/{ev['fde_min']:.3f} | "
+                  f"coverage = {cov:.2f}")
+
+    best = max(results, key=lambda k: results[k]["mode_coverage"])
+    print(f"best coverage: {best} "
+          f"({results[best]['mode_coverage']:.2f})")
+    with open(args.out_json, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(f"wrote {args.out_json}")
+    return 0
+
+
 def cmd_eth_ucy(args) -> int:
     import json
 
@@ -444,6 +506,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--group", type=int, default=6,
                    help="pedestrians per real sample set")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("sweep",
+                       help="unrolled-GAN x latent-code sweep on the toy "
+                            "set with mode-coverage scoring (config 4)")
+    p.add_argument("--data", required=True)
+    p.add_argument("--unrolls", default="0,1,5")
+    p.add_argument("--info-weights", default="0.0,0.5,1.0")
+    p.add_argument("--sweep-epochs", type=int, default=20000)
+    p.add_argument("--coverage-k", type=int, default=64)
+    p.add_argument("--out-json", default="sweep.json")
+    _add_model_flags(p)
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("eth-ucy",
                        help="leave-one-scene-out ETH/UCY benchmark")

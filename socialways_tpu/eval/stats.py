@@ -142,3 +142,26 @@ def load_real_samples(dataset_npz: str, group: int = 6) -> np.ndarray:
     samples = np.concatenate([real["obsvs"], real["preds"]], axis=1)
     t = samples.shape[1]
     return samples.reshape(-1, group, t, 2)
+
+
+def toy_mode_coverage(obsvs: np.ndarray, preds_k: np.ndarray,
+                      mode_angles=(-16.0, 0.0, 16.0),
+                      tol_deg: float = 8.0) -> float:
+    """Fraction of the toy dataset's turn modes covered by K samples.
+
+    The toy set (data.toy) branches each approach direction into turn modes
+    at ±16°·k; a sample "hits" a mode when its final-point bearing,
+    relative to the approach direction, lies within ``tol_deg`` of the mode
+    center.  Returns the mean over agents of (#modes hit by the K samples)
+    / n_modes — 1.0 = full multi-modal coverage, 1/n_modes ≈ collapse.
+
+    obsvs: [N, n_past, 2] world coords; preds_k: [K, N, T, 2] world coords.
+    """
+    approach = np.degrees(np.arctan2(obsvs[:, 0, 1], obsvs[:, 0, 0]))
+    final = preds_k[..., -1, :]                                 # [K, N, 2]
+    ang = np.degrees(np.arctan2(final[..., 1], final[..., 0]))  # [K, N]
+    turn = (ang - approach[None, :] + 180.0) % 360.0 - 180.0
+    hits = np.zeros((len(mode_angles), obsvs.shape[0]), bool)
+    for mi, m in enumerate(mode_angles):
+        hits[mi] = (np.abs(turn - m) < tol_deg).any(axis=0)
+    return float(hits.mean())

@@ -1,3 +1,7 @@
+from socialways_tpu.parallel.agents import (
+    make_sharded_social_context,
+    sharded_social_context,
+)
 from socialways_tpu.parallel.mesh import (
     DATA_AXIS,
     make_dp_eval_chunk,
@@ -7,4 +11,5 @@ from socialways_tpu.parallel.mesh import (
 )
 
 __all__ = ["DATA_AXIS", "make_dp_eval_chunk", "make_dp_train_step",
-           "make_mesh", "shard_packed_for_mesh"]
+           "make_mesh", "shard_packed_for_mesh",
+           "make_sharded_social_context", "sharded_social_context"]

@@ -1,0 +1,99 @@
+"""Agents-axis sharded social attention (the crowd analogue of sequence
+parallelism, SURVEY §5.7).
+
+Data parallelism keeps whole scenes on one device; when a single scene's
+agent count exceeds a chip (the 10k-agent regime), the quadratic
+agents×neighbors attention itself must shard.  Strategy here: shard the
+agents axis over the mesh; each device gathers the (tiny) per-agent keys —
+last-frame state, hidden state, scene id — with one ``all_gather`` over ICI
+and computes only its local rows of the N_local × N_global attention.
+Per-agent payload is 4+H+1 floats (~276 B at H=64), so even 100k agents
+gather ~28 MB — the N² pair computation, which is what actually explodes,
+never crosses devices.
+
+A ring-scheduled variant (neighbor blocks streamed with
+``make_async_remote_copy`` instead of a full gather) is the natural next
+refinement when the gathered keys no longer fit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.ops.nn import linear_apply, mlp_apply
+
+_NEG = -1e9
+
+
+def sharded_social_context(
+    params: Dict,
+    x4_last: jnp.ndarray,     # [N_local, 4] this shard's last-frame states
+    h: jnp.ndarray,           # [N_local, H]
+    scene_ids: jnp.ndarray,   # [N_local]
+    axis_name: str,
+) -> jnp.ndarray:
+    """Social context for the local agents against ALL agents on the mesh
+    axis.  Call inside shard_map with the agents axis sharded.
+
+    Math identical to ops.social.social_features + attention_pool with the
+    j (neighbor) axis global.
+    """
+    # gather neighbor keys: [D, N_local, ...] → [N_global, ...]
+    x4_all = jax.lax.all_gather(x4_last, axis_name, tiled=True)
+    h_all = jax.lax.all_gather(h, axis_name, tiled=True)
+    ids_all = jax.lax.all_gather(scene_ids, axis_name, tiled=True)
+
+    p_i, v_i = x4_last[:, :2], x4_last[:, 2:]
+    p_j, v_j = x4_all[:, :2], x4_all[:, 2:]
+    dp = p_i[:, None, :] - p_j[None, :, :]          # [N_local, N_global, 2]
+    dv = v_i[:, None, :] - v_j[None, :, :]
+
+    dist = jnp.linalg.norm(dp, axis=-1)
+    dot_dp_v = jnp.einsum("ijk,ik->ij", dp, v_i)
+    bearing = dot_dp_v / (dist * jnp.linalg.norm(v_i, axis=-1)[:, None]
+                          + 1e-6)
+    dot_dp_dv = jnp.sum(dp * dv, axis=-1)
+    ttca = -dot_dp_dv / (jnp.sum(dv * dv, axis=-1) + 1e-6)
+    dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+
+    feats = jnp.stack([dist, bearing, dca], axis=-1)
+    f_emb = mlp_apply(params["feat_mlp"], feats)    # [N_local, N_global, F]
+
+    wh_all = linear_apply(params["attn_w"], h_all)  # [N_global, F]
+    scores = jnp.einsum("ijf,jf->ij", f_emb, wh_all)
+
+    # mask: same scene, both valid, exclude self by GLOBAL index
+    n_local = x4_last.shape[0]
+    my_start = jax.lax.axis_index(axis_name) * n_local
+    row_g = my_start + jnp.arange(n_local)[:, None]
+    col_g = jnp.arange(x4_all.shape[0])[None, :]
+    same = scene_ids[:, None] == ids_all[None, :]
+    valid = (scene_ids[:, None] >= 0) & (ids_all[None, :] >= 0)
+    mask = same & valid & (row_g != col_g)
+
+    scores = jnp.where(mask, scores, _NEG)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    unnorm = jnp.where(mask, jnp.exp(scores - smax), 0.0)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    attn = unnorm / jnp.maximum(denom, 1e-20)
+    pooled = jnp.einsum("ij,jf->if", attn, h_all)
+    has_nb = jnp.any(mask, axis=-1, keepdims=True)
+    return jnp.where(has_nb, pooled, 0.0)
+
+
+def make_sharded_social_context(params: Dict, mesh, axis_name: str = "data"):
+    """shard_map wrapper: inputs sharded on the agents (leading) axis."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x4, h, ids):
+        return sharded_social_context(params, x4, h, ids, axis_name)
+
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False))

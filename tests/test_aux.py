@@ -152,3 +152,29 @@ def test_fake_display_noop():
     d.plot_ped()
     d.plot_path([])
     d.show()
+
+
+def test_toy_mode_coverage_metric():
+    from socialways_tpu.eval.stats import toy_mode_coverage
+
+    # agents approaching from +x (angle 0); modes at -16/0/+16 deg
+    n, t = 4, 3
+    obsvs = np.zeros((n, 2, 2), np.float32)
+    obsvs[:, 0, 0] = 4.0          # approach angle 0
+    obsvs[:, 1, 0] = 3.0
+
+    def traj_at(deg):
+        a = np.radians(deg)
+        out = np.zeros((t, 2), np.float32)
+        out[-1] = [np.cos(a), np.sin(a)]
+        return out
+
+    # K=3 samples hitting all three modes for every agent → coverage 1
+    pk = np.stack([np.stack([traj_at(d)] * n) for d in (-16, 0, 16)])
+    assert toy_mode_coverage(obsvs, pk) == 1.0
+    # collapsed: all samples on one mode → 1/3
+    pk1 = np.stack([np.stack([traj_at(0)] * n)] * 3)
+    assert toy_mode_coverage(obsvs, pk1) == pytest.approx(1 / 3)
+    # off all modes → 0
+    pk0 = np.stack([np.stack([traj_at(45)] * n)] * 3)
+    assert toy_mode_coverage(obsvs, pk0) == 0.0

@@ -120,3 +120,31 @@ def test_dp_step_on_grouped_toy(toy_npz, mesh):
                         jax.random.PRNGKey(g))
         total += int(m.n_samples)
     assert total == ds.n_train_samples
+
+
+def test_sharded_social_context_equals_single_device(mesh):
+    """Agents-axis sharded attention == the single-device reference, with
+    one big scene spanning all 8 shards."""
+    from socialways_tpu.models import init_generator
+    from socialways_tpu.parallel.agents import make_sharded_social_context
+    from socialways_tpu.kernels.social_attention import _xla_reference
+
+    cfg = CFG.replace(hidden_size=32, social_feature_size=32)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+
+    rng = np.random.RandomState(0)
+    n = 8 * 16          # 16 agents per device
+    x4 = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    # one giant scene + one spanning scene + padding spread across shards
+    ids = np.zeros(n, np.int32)
+    ids[40:80] = 1
+    ids[-8:] = -1
+    ids = jnp.asarray(ids)
+
+    ref = _xla_reference(p, x4, h, ids)
+    fn = make_sharded_social_context(p, mesh)
+    got = fn(x4, h, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
