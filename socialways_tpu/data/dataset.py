@@ -15,7 +15,7 @@ masks replace the reference's per-scene Python loops in attention.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Everything — the window loop included — is one jitted ``lax.scan`` program.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ from socialways_tpu.engine.losses import (
     l2_traj_loss,
     lsgan_d_loss,
     lsgan_g_loss,
-    masked_mse,
     traj_errors,
     variety_loss,
 )

@@ -17,7 +17,6 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from socialways_tpu.config import TrainConfig
 from socialways_tpu.data.dataset import (

@@ -12,13 +12,12 @@ does (train.py:587).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from socialways_tpu.config import TrainConfig
-from socialways_tpu.models.generator import generator_rollout
 
 
 class EvalSums(NamedTuple):

@@ -13,7 +13,7 @@ same flattened pytree; npz keeps checkpoints trivially portable/inspectable).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np

@@ -19,7 +19,6 @@ x = (p, v):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from socialways_tpu.ops.nn import Params, linear_apply

@@ -14,16 +14,16 @@ collectives in the step are the gradient/metric reductions.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from socialways_tpu.config import TrainConfig
-from socialways_tpu.engine.train_step import StepMetrics, TrainState, gan_step
+from socialways_tpu.engine.train_step import gan_step
 from socialways_tpu.eval.metrics import EvalSums, eval_chunk
 
 DATA_AXIS = "data"
