@@ -79,14 +79,42 @@ def _kernel(h_ref, c_ref, s_ref, z_ref, p_ref,
         h_new = o * jnp.tanh(c_new)
         return (h_new, c_new, new_p), jnp.concatenate([new_p, new_v], -1)
 
-    # n_next is static: unroll in Python and store the whole [ti, n_next*4]
-    # block once (Mosaic rejects narrow stores at dynamic column offsets)
-    carry = (h, c, last_p)
-    outs = []
-    for _ in range(n_next):
-        carry, step4 = step(carry)
-        outs.append(step4)
-    out_ref[:] = jnp.concatenate(outs, axis=-1)
+    # fori_loop keeps the Mosaic program small (a 12× Python unroll took
+    # ~10 min to compile); Mosaic supports neither narrow dynamic-offset
+    # REF stores nor dynamic_update_slice, so the per-step [ti, 4] slab is
+    # scattered into the value-carried output with a one-hot mask over the
+    # step dimension (an extra n_next·4 column writes/step — negligible)
+    ti_rows = h.shape[0]
+
+    col_group = jax.lax.broadcasted_iota(jnp.int32,
+                                         (ti_rows, n_next * 4), 1) // 4
+
+    # Step-loop structure trade-off (measured on v5e, n=1024, n_next=12):
+    #   full Python unroll → 1037 µs/call but ~10 min Mosaic compile;
+    #   fori_loop (this)   → 1822 µs/call, ~3 s compile;
+    #   partial unroll 4   → slower than both (mask-scatter cost dominates).
+    # fori wins overall; raise `unroll` only for a latency-critical serving
+    # build where the one-time compile is acceptable.
+    unroll = 1
+    while n_next % unroll:
+        unroll -= 1
+
+    def body(it, carry):
+        h, c, last_p, out = carry
+        for j in range(unroll):
+            t = it * unroll + j
+            (h, c, last_p), step4 = step((h, c, last_p))
+            # 2-D only (Mosaic's remote compiler chokes on the 3-D
+            # broadcast form): tile the [ti, 4] slab across all step slots
+            # by concat, then zero every slot except t via a column mask
+            tiled = jnp.concatenate([step4] * n_next, axis=1)
+            out = out + jnp.where(col_group == t, tiled, 0.0)
+        return h, c, last_p, out
+
+    out0 = jnp.zeros((ti_rows, n_next * 4), jnp.float32)
+    _, _, _, out = jax.lax.fori_loop(0, n_next // unroll, body,
+                                     (h, c, last_p, out0))
+    out_ref[:] = out
 
 
 def _pallas_decode(params: Dict, prep, noise: jnp.ndarray, n_next: int,
