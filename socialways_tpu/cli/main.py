@@ -55,6 +55,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU only; long "
                         "first compile)")
+    p.add_argument("--auto-recover", action="store_true",
+                   help="on training divergence (NaN or ADE >5x best), "
+                        "restore the best checkpoint and continue")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off, reference "
                         "behavior; 1.0 recommended for long runs)")
@@ -161,6 +164,7 @@ def cmd_train(args) -> int:
     best_file = os.path.join(cfg.model_dir,
                              f"{args.model}-{cfg.dataset}-best.npz")
     best_ade = float("inf")
+    best_train_ade = float("inf")
     state = trainer.init_state()
     rng = jax.random.PRNGKey(cfg.seed)
     start_epoch = 1
@@ -200,6 +204,17 @@ def cmd_train(args) -> int:
         print(f" Epc={epoch:4d}, Train ADE,FDE = ({m['train_ade']:.3f}, "
               f"{m['train_fde']:.3f}) | time = {m['epoch_time_s']:.2f}s"
               + (f" ({n_block} fused epochs)" if n_block > 1 else ""))
+
+        # divergence detection + recovery (GANs destabilize on long runs;
+        # the reference has no failure-handling story — SURVEY §5.3)
+        import math as _math
+        diverged = (not _math.isfinite(m["train_ade"])
+                    or m["train_ade"] > 5 * best_train_ade + 0.1)
+        best_train_ade = min(best_train_ade, m["train_ade"])
+        if args.auto_recover and diverged and checkpoint_exists(best_file):
+            state, b_epoch, _, _ = restore_checkpoint(best_file, state)
+            print(f"DIVERGED at epoch {epoch} (ADE {m['train_ade']:.3f}); "
+                  f"restored best checkpoint from epoch {b_epoch}")
 
         if epoch % cfg.save_interval == 0:
             save_checkpoint(model_file, state, epoch, rng, ds.scale)
