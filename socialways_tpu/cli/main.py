@@ -134,6 +134,9 @@ def cmd_create_dataset(args) -> int:
                   "sdd": SDDParser, "seyfried": SeyfriedParser}[args.parser]
     p = parser_cls()
     p.load(args.input, down_sample=args.down_sample)
+    if not p.p_data:
+        raise SystemExit(f"error: no trajectories parsed from {args.input} "
+                         f"with the '{args.parser}' parser — wrong format?")
     interval = p.interval if p.interval > 0 else 1
     t_range = range(int(p.min_t), int(p.max_t), interval)
     obsvs, preds, times, batches = create_dataset(

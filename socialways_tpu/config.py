@@ -37,6 +37,10 @@ class TrainConfig:
 
     # ---- architecture ----
     hidden_size: int = 64
+    # The reference exposes n_layers on EncoderLstm (train.py:247) but its
+    # decoder consumes lstm_h[0].view(bs,-1) (train.py:421), which only
+    # type-checks for 1 layer — n_layers>1 is broken in the reference and
+    # unsupported here (validated at init).
     n_lstm_layers: int = 1
     num_social_features: int = 3
     social_feature_size: int = 64    # = hidden_size in the reference

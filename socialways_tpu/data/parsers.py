@@ -207,12 +207,9 @@ class SDDParser(_BaseParser):
 
     interval = 12
     default_down_sample = 12
-    _table_layout = (10, 0, 5, 1, 2, -1, -1)  # px/py computed from bbox
-
-    def _table_positions(self, table, px_c, py_c):
-        px = (np.round(table[:, 1]) + np.round(table[:, 3])) / 2
-        py = (np.round(table[:, 2]) + np.round(table[:, 4])) / 2
-        return px, py
+    # no native fast path: real SDD rows end with a quoted string label,
+    # which the numeric table parser rejects wholesale
+    _table_layout = None
 
     def _pre_file(self, filename: str) -> None:
         self.actual_fps = 2.5

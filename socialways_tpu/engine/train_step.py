@@ -73,9 +73,14 @@ def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
     from socialways_tpu.models.generator import init_generator
     from socialways_tpu.models.discriminator import init_discriminator
 
+    if cfg.n_lstm_layers != 1:
+        raise ValueError(
+            "n_lstm_layers must be 1: the reference's decoder wiring only "
+            "supports a single encoder layer (see config.py)")
+    dtype = jnp.dtype(cfg.dtype)
     kg, kd = jax.random.split(key)
-    g_params = init_generator(kg, cfg)
-    d_params = init_discriminator(kd, cfg)
+    g_params = init_generator(kg, cfg, dtype)
+    d_params = init_discriminator(kd, cfg, dtype)
     g_tx, d_tx = make_optimizers(cfg)
     return TrainState(g_params, d_params, g_tx.init(g_params),
                       d_tx.init(d_params))
@@ -100,7 +105,9 @@ def gan_step(
     label-smoothing scalars stay identical everywhere.
     """
     g_tx, d_tx = make_optimizers(cfg)
-    obsv, pred = batch["obsvs"], batch["preds"]
+    dtype = jnp.dtype(cfg.dtype)
+    obsv = batch["obsvs"].astype(dtype)
+    pred = batch["preds"].astype(dtype)
     scene_ids, valid = batch["scene_ids"], batch["valid"]
     n = obsv.shape[0]
 
