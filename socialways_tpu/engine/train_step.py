@@ -149,10 +149,19 @@ def gan_step(
     pred_hat_4d_d = jax.lax.stop_gradient(rollout(state.g_params, noise))
 
     # ---------------- D phase: n_unrolling_steps + 1 updates --------------
+    # the observation branch is shared between the fake and real passes
+    # (the reference runs the full D twice, train.py:482-487); encode once
+    # and run both futures through the heads as one [2N] batch
+    from socialways_tpu.models.discriminator import (discriminator_heads,
+                                                     encode_obsv)
+
     def d_loss_fn(d_params):
-        fake_label, fake_code = discriminator_apply(d_params, obsv_4d,
-                                                    pred_hat_4d_d)
-        real_label, _ = discriminator_apply(d_params, obsv_4d, pred_4d)
+        obsv_code = encode_obsv(d_params, obsv_4d)
+        labels, codes = discriminator_heads(
+            d_params, obsv_code,
+            jnp.concatenate([pred_hat_4d_d, pred_4d], axis=0))
+        fake_label, real_label = labels[:n], labels[n:]
+        fake_code = codes[:n]
         return lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
                             zeros_t, ones_t, cfg.use_info_loss,
                             cfg.loss_info_w, cfg.n_latent_codes)

@@ -45,21 +45,41 @@ def _fc2(layers: list, x: jnp.ndarray) -> jnp.ndarray:
     return linear_apply(layers[1], leaky_relu(linear_apply(layers[0], x)))
 
 
+def encode_obsv(params: Dict, obsv_4d: jnp.ndarray) -> jnp.ndarray:
+    """Observation branch: LSTM over the observed sequence → FC code.
+    Depends only on the observation — one GAN step evaluates D on the same
+    observation against fake AND real futures (×(unroll+1) updates), so
+    callers compute this once per update and reuse it."""
+    n = obsv_4d.shape[0]
+    hidden = params["obsv_lstm"]["w"].shape[1] // 4
+    ys, _ = lstm_seq(params["obsv_lstm"], obsv_4d,
+                     zero_state(n, hidden, obsv_4d.dtype))
+    return _fc2(params["obsv_fc"], ys[:, -1])
+
+
+def discriminator_heads(params: Dict, obsv_code: jnp.ndarray,
+                        pred_4d: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prediction branch + classifier + Q-head, given a (possibly shared)
+    observation code.  pred_4d may batch multiple futures per observation:
+    [K*N, n_next, 4] with obsv_code [N, ...] is tiled to match."""
+    m = pred_4d.shape[0]
+    if obsv_code.shape[0] != m:
+        reps = m // obsv_code.shape[0]
+        obsv_code = jnp.concatenate([obsv_code] * reps, axis=0)
+    pred_code = _fc2(params["pred_fc"], pred_4d.reshape(m, -1))
+    both = jnp.concatenate([obsv_code, pred_code], axis=-1)
+    label = _fc2(params["classifier"], both)
+    code_hat = _fc2(params["latent_dec"], both)
+    return label, code_hat
+
+
 def discriminator_apply(params: Dict, obsv_4d: jnp.ndarray,
                         pred_4d: jnp.ndarray
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """obsv_4d [N, n_past, 4], pred_4d [N, n_next, 4] →
     (label [N, 1], code_hat [N, n_latent_codes])."""
-    n = obsv_4d.shape[0]
-    hidden = params["obsv_lstm"]["w"].shape[1] // 4
-    ys, _ = lstm_seq(params["obsv_lstm"], obsv_4d,
-                     zero_state(n, hidden, obsv_4d.dtype))
-    obsv_code = _fc2(params["obsv_fc"], ys[:, -1])
-    pred_code = _fc2(params["pred_fc"], pred_4d.reshape(n, -1))
-    both = jnp.concatenate([obsv_code, pred_code], axis=-1)
-    label = _fc2(params["classifier"], both)
-    code_hat = _fc2(params["latent_dec"], both)
-    return label, code_hat
+    return discriminator_heads(params, encode_obsv(params, obsv_4d), pred_4d)
 
 
 def restore_linear_only(backup: Dict, current: Dict) -> Dict:
