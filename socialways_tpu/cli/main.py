@@ -55,6 +55,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU only; long "
                         "first compile)")
+    p.add_argument("--track-coverage", action="store_true",
+                   help="also track toy mode coverage at each eval and "
+                        "keep the best-coverage checkpoint (-bestcov.npz)")
     p.add_argument("--auto-recover", action="store_true",
                    help="on training divergence (NaN or ADE >5x best), "
                         "restore the best checkpoint and continue")
@@ -168,6 +171,9 @@ def cmd_train(args) -> int:
                              f"{args.model}-{cfg.dataset}-best.npz")
     best_ade = float("inf")
     best_train_ade = float("inf")
+    best_cov = -1.0
+    bestcov_file = os.path.join(cfg.model_dir,
+                                f"{args.model}-{cfg.dataset}-bestcov.npz")
     state = trainer.init_state()
     rng = jax.random.PRNGKey(cfg.seed)
     start_epoch = 1
@@ -236,9 +242,35 @@ def cmd_train(args) -> int:
                 best_ade = ev["ade_min"]
                 save_checkpoint(best_file, state, epoch, rng, ds.scale)
                 print(f"new best (ADE {best_ade:.3f}) saved to {best_file}")
+            if args.track_coverage:
+                cov = _eval_coverage(trainer, state, ds, cfg, rng)
+                print(f"mode coverage = {cov:.2f}")
+                if cov > best_cov:
+                    best_cov = cov
+                    save_checkpoint(bestcov_file, state, epoch, rng,
+                                    ds.scale)
+                    print(f"new best coverage saved to {bestcov_file}")
             if cfg.dump_dir:
                 _dump_first_chunk(trainer, state, ds, cfg, epoch, rng)
     return 0
+
+
+def _eval_coverage(trainer, state, ds, cfg, rng) -> float:
+    """Toy mode coverage over (up to) the first 64 test samples."""
+    import jax
+    import jax.numpy as jnp
+
+    from socialways_tpu.eval.metrics import k_sample_rollout
+    from socialways_tpu.eval.stats import toy_mode_coverage
+
+    nt = ds.n_train_samples
+    obs = jnp.asarray(ds.obsvs[nt:nt + 64])
+    ids = jnp.zeros((obs.shape[0],), jnp.int32)
+    pk = k_sample_rollout(state.g_params, obs, ids,
+                          jax.random.fold_in(rng, 99), cfg.n_gen_samples,
+                          cfg)
+    return toy_mode_coverage(ds.scale.denormalize(np.asarray(obs)),
+                             ds.scale.denormalize(np.asarray(pk[..., :2])))
 
 
 def _dump_first_chunk(trainer, state, ds, cfg, epoch, rng) -> None:
