@@ -67,6 +67,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default="",
                    help="write jax.profiler device traces for the first "
                         "post-compile epoch to this directory")
+    p.add_argument("--block-size", type=int, default=0,
+                   help="fused-epoch block size (0 = gcd of test/save "
+                        "intervals). GAN outcomes depend on the RNG "
+                        "stream, which depends on this — use the same "
+                        "value to reproduce sweep results exactly")
     p.add_argument("--fused-epochs", action="store_true",
                    help="run gcd(test,save)-interval epoch blocks as one "
                         "device program (fastest; per-epoch prints become "
@@ -189,8 +194,9 @@ def cmd_train(args) -> int:
           f"lr(D) = {cfg.lr_d:.5f} | devices: {jax.devices()}")
 
     import math
-    block = (math.gcd(cfg.save_interval, cfg.test_interval)
-             if args.fused_epochs else 1)
+    block = (args.block_size or math.gcd(cfg.save_interval,
+                                         cfg.test_interval)) \
+        if args.fused_epochs else 1
     epoch = start_epoch - 1
     while epoch < cfg.n_epochs:
         n_block = min(block, cfg.n_epochs - epoch) if block > 1 else 1

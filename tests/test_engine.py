@@ -239,3 +239,50 @@ def test_checkpoint_resume_continues_identically(toy_ds, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state_a.g_params["embed"]["w"]),
         np.asarray(state_b.g_params["embed"]["w"]))
+
+
+def test_crowd_simulate(toy_ds):
+    """Multi-window crowd simulation: continuity across windows."""
+    from socialways_tpu.engine.simulate import crowd_simulate
+    from socialways_tpu.models import init_generator
+
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                      n_past=4, n_next=3, use_social=True)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    n = 32
+    obsv0 = jnp.asarray(np.cumsum(rng.randn(n, 4, 2) * 0.01, 1)
+                        .astype(np.float32))
+    ids = jnp.asarray((np.arange(n) // 8).astype(np.int32))
+    out = crowd_simulate(params, obsv0, ids, n_windows=3,
+                         rng=jax.random.PRNGKey(1), cfg=cfg)
+    assert out.shape == (n, 9, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    # steps are continuous: consecutive deltas stay bounded (velocities are
+    # decoder outputs near init, not jumps)
+    deltas = np.abs(np.diff(np.asarray(out), axis=1))
+    assert deltas.max() < 5.0
+
+
+def test_ethucy_merge_scenes(tmp_path):
+    from socialways_tpu.engine.ethucy import merge_scenes
+    from socialways_tpu.data.toy import make_toy_npz_arrays
+
+    files = []
+    for i in range(3):
+        d = make_toy_npz_arrays(n_samples=36, n_conditions=6, n_modes=3,
+                                n_per_batch=6, seed=i)
+        p = tmp_path / f"s{i}.npz"
+        np.savez(p, **d)
+        files.append(str(p))
+
+    ds = merge_scenes(files[:2], files[2])
+    # train part = scenes 0+1, test = scene 2
+    assert ds.n_train_samples == 72
+    assert ds.n_test_samples == 36
+    # batch ranges are contiguous and cover all samples exactly once
+    b = np.asarray(ds.batches)
+    assert b[0][0] == 0 and b[-1][1] == 108
+    assert (b[1:, 0] == b[:-1, 1]).all()
+    # normalized into the unit box
+    assert ds.obsvs.min() >= -1e-6 and ds.obsvs.max() <= 1 + 1e-6
