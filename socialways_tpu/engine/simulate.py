@@ -30,26 +30,91 @@ def crowd_simulate(
     n_windows: int,
     rng: jax.Array,
     cfg: TrainConfig,
+    noise: jnp.ndarray | None = None,   # [n_windows, N, noise_len] override
 ) -> jnp.ndarray:
     """Simulate ``n_windows`` prediction windows (n_windows·n_next steps).
 
-    Returns positions [N, n_windows * n_next, 2]."""
+    Returns positions [N, n_windows * n_next, 2].  ``noise`` overrides the
+    internally drawn stream (used by the sharded variant for exact parity).
+    """
     n, n_past, _ = obsv0.shape
+    if noise is None:
+        keys = jax.random.split(rng, n_windows)
+        noise = jax.vmap(
+            lambda k: jax.random.uniform(k, (n, cfg.noise_len),
+                                         obsv0.dtype))(keys)
 
-    def window(carry, key):
+    def window(carry, z):
         obsv = carry
-        noise = jax.random.uniform(key, (n, cfg.noise_len), obsv.dtype)
-        pred = generator_rollout(g_params, obsv, noise, cfg.n_next,
+        pred = generator_rollout(g_params, obsv, z, cfg.n_next,
                                  scene_ids, cfg.use_social, cfg.decoder,
                                  cfg.use_pallas)
         pos = pred[..., :2]
         new_obsv = jnp.concatenate([obsv, pos], axis=1)[:, -n_past:]
         return new_obsv, pos
 
-    keys = jax.random.split(rng, n_windows)
-    _, windows = jax.lax.scan(window, obsv0, keys)
+    _, windows = jax.lax.scan(window, obsv0, noise)
     # [n_windows, N, n_next, 2] → [N, n_windows*n_next, 2]
     return jnp.moveaxis(windows, 0, 1).reshape(n, n_windows * cfg.n_next, 2)
+
+
+def crowd_simulate_sharded(
+    g_params: Dict,
+    obsv0: jnp.ndarray,
+    scene_ids: jnp.ndarray,
+    n_windows: int,
+    rng: jax.Array,
+    cfg: TrainConfig,
+    mesh,
+    axis_name: str = "data",
+    noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Multi-chip crowd simulation: agents sharded over the mesh; each
+    window's social attention runs the agents-axis sharded form
+    (parallel.agents — one all_gather of per-agent keys per window), and
+    the encode/decode stay device-local.  Bit-equivalent to
+    :func:`crowd_simulate` given the same noise stream."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from socialways_tpu.models.generator import (decode_rollout,
+                                                 encode_observation)
+    from socialways_tpu.ops.traj import obsv_to_4d
+    from socialways_tpu.parallel.agents import sharded_social_context
+
+    n, n_past, _ = obsv0.shape
+    if noise is None:
+        keys = jax.random.split(rng, n_windows)
+        noise = jax.vmap(
+            lambda k: jax.random.uniform(k, (n, cfg.noise_len),
+                                         obsv0.dtype))(keys)
+
+    def local_sim(obsv_local, ids_local, noise_local):
+        def window(carry, z):
+            obsv = carry
+            obsv_4d = obsv_to_4d(obsv)
+            h, c = encode_observation(g_params, obsv_4d)
+            if cfg.use_social:
+                s = sharded_social_context(g_params, obsv_4d[:, -1], h,
+                                           ids_local, axis_name)
+            else:
+                s = jnp.zeros_like(h)
+            pred = decode_rollout(g_params, (h, c, s, obsv[:, -1]), z,
+                                  cfg.n_next, cfg.decoder)
+            pos = pred[..., :2]
+            return jnp.concatenate([obsv, pos], axis=1)[:, -n_past:], pos
+
+        _, windows = jax.lax.scan(window, obsv_local, noise_local)
+        m = obsv_local.shape[0]
+        return jnp.moveaxis(windows, 0, 1).reshape(
+            m, n_windows * cfg.n_next, 2)
+
+    fn = shard_map(local_sim, mesh=mesh,
+                   in_specs=(P(axis_name), P(axis_name),
+                             P(None, axis_name)),
+                   out_specs=P(axis_name),
+                   check_vma=False)
+    return jax.jit(fn)(obsv0, scene_ids, noise)
 
 
 def make_crowd_sim(cfg: TrainConfig, n_windows: int):

@@ -148,3 +148,32 @@ def test_sharded_social_context_equals_single_device(mesh):
     got = fn(x4, h, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_crowd_sim_equals_single_device(mesh):
+    """Multi-chip crowd simulation == single-device simulation given the
+    same noise stream (agents sharded 8 ways, scenes spanning shards)."""
+    from socialways_tpu.engine.simulate import (crowd_simulate,
+                                                crowd_simulate_sharded)
+    from socialways_tpu.models import init_generator
+
+    cfg = CFG.replace(hidden_size=16, social_feature_size=16, noise_len=8,
+                      n_past=4, n_next=3, use_social=True)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    n, n_windows = 8 * 8, 2
+    obsv0 = jnp.asarray(np.cumsum(rng.randn(n, 4, 2) * 0.01, 1)
+                        .astype(np.float32))
+    ids = np.zeros(n, np.int32)
+    ids[20:44] = 1          # one scene spans shards 2..5
+    ids[44:] = 2
+    ids = jnp.asarray(ids)
+    noise = jnp.asarray(rng.rand(n_windows, n, 8).astype(np.float32))
+
+    ref = crowd_simulate(params, obsv0, ids, n_windows,
+                         jax.random.PRNGKey(1), cfg, noise=noise)
+    got = crowd_simulate_sharded(params, obsv0, ids, n_windows,
+                                 jax.random.PRNGKey(1), cfg, mesh,
+                                 noise=noise)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
