@@ -301,6 +301,17 @@ class SeyfriedParser(_BaseParser):
             iid = hash(aid)
         return iid, ts, px, py, vx, vy
 
+    def _post_load(self) -> None:
+        # auto-detect the post-down-sampling frame interval (the reference
+        # never fed Seyfried data through create_dataset; without this the
+        # windowing would look for stride-1 frames that don't exist)
+        for t in self.t_data:
+            if len(t) > 1:
+                iv = int(round(float(t[1] - t[0])))
+                if iv > 0:
+                    self.interval = iv
+                    return
+
 
 # Reference-compatible (sic) alias, parse_utils.py:150.
 SDD_Parsrer = SDDParser
