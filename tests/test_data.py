@@ -199,3 +199,27 @@ def test_pack_pad_chunks_to():
                                 pad_chunks_to=4)
     assert packed.n_chunks == 4
     assert packed.n_valid.tolist() == [2, 2, 2, 0]
+
+
+def test_seyfried_parser_and_interval(tmp_path):
+    """Seyfried format: header (obstacles + fps), cm→m, finite-diff
+    velocities, and post-down-sampling interval auto-detection."""
+    from socialways_tpu.data import SeyfriedParser
+
+    lines = ["1", "0.0 0.0 10.0 0.0", "", "16"]
+    for aid in (1, 2):
+        for k in range(12):
+            lines.append(f"{aid} {k} {100.0 + 10 * k} {200.0 + 5 * k} 170.0")
+    f = tmp_path / "sey.txt"
+    f.write_text("\n".join(lines) + "\n")
+
+    p = SeyfriedParser()
+    p_data, v_data, t_data = p.load(str(f), down_sample=4)
+    assert len(p_data) == 2
+    # cm → m and down-sampling kept t in {0,4,8}
+    np.testing.assert_allclose(p_data[0][:, 0], [1.0, 1.4, 1.8])
+    assert t_data[0].tolist() == [0, 4, 8]
+    assert p.interval == 4          # auto-detected after down-sampling
+    assert p.actual_fps == pytest.approx(16 / 4)
+    # finite-difference velocity: 0.4 m over 4 frames at 16 fps = 1.6 m/s
+    np.testing.assert_allclose(v_data[0][1][0], 0.4 * 16 / 4, rtol=1e-6)
