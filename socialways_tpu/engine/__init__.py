@@ -6,9 +6,17 @@ from socialways_tpu.engine.train_step import (
     make_optimizers,
 )
 from socialways_tpu.engine.trainer import Trainer
+from socialways_tpu.engine.simulate import (
+    crowd_simulate,
+    crowd_simulate_sharded,
+    make_crowd_sim,
+)
+from socialways_tpu.engine.ethucy import merge_scenes, run_leave_one_out
 from socialways_tpu.engine import losses
 
 __all__ = [
     "StepMetrics", "TrainState", "gan_step", "init_train_state",
-    "make_optimizers", "Trainer", "losses",
+    "make_optimizers", "Trainer", "losses", "crowd_simulate",
+    "crowd_simulate_sharded", "make_crowd_sim", "merge_scenes",
+    "run_leave_one_out",
 ]
