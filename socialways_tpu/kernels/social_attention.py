@@ -19,6 +19,11 @@ i-tile's cannot contribute.
 The wrapper is a ``jax.custom_vjp`` whose backward pass re-runs the pure-XLA
 reference implementation (ops.social) under ``jax.vjp`` — forward speed
 where it matters (K-sample rollouts, crowd simulation) with exact gradients.
+
+REQUIREMENT: scene ids must be sorted non-decreasing with padding (−1) at
+the end — exactly what ``data.dataset.pack_scene_batches`` produces.  The
+per-i-tile j-band skip logic depends on it; unsorted ids would silently
+drop cross-tile pairs (use ops.social directly for arbitrary orderings).
 """
 
 from __future__ import annotations
@@ -37,11 +42,14 @@ from socialways_tpu.ops.nn import mlp_apply
 _NEG = -1e9
 
 
-def _kernel(x4_ref, ids_ref, h_ref, wh_ref,
+def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
             out_ref, *, ti: int, tj: int, n: int, feat: int):
     """Grid: (n // ti,). Full x4/ids/h/wh live in VMEM; the i-tile of the
-    output is blocked."""
+    output is blocked.  jstart/jend (scalar-prefetched) bound the j-tile
+    band per i-tile: scene ids are sorted, so only a contiguous run of
+    j-tiles can share a scene with this i-tile — all others are skipped
+    without even a loop iteration."""
     i = pl.program_id(0)
     i0 = i * ti
 
@@ -51,9 +59,6 @@ def _kernel(x4_ref, ids_ref, h_ref, wh_ref,
     vix, viy = xi[:, 2:3], xi[:, 3:4]
     vi_norm = jnp.sqrt(vix * vix + viy * viy)        # [ti, 1]
 
-    ids_i_min = jnp.min(ids_i)
-    ids_i_max = jnp.max(ids_i)
-
     row_g = i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
 
     def j_body(jt, carry):
@@ -62,69 +67,62 @@ def _kernel(x4_ref, ids_ref, h_ref, wh_ref,
         xj = x4_ref[pl.ds(j0, tj), :]                # [tj, 4]
         ids_j = ids_ref[pl.ds(j0, tj), :]            # [tj, 1]
 
-        # scene-id overlap test — disjoint tiles contribute nothing
-        overlap = jnp.logical_and(jnp.max(ids_j) >= ids_i_min,
-                                  jnp.min(ids_j) <= ids_i_max)
+        # pairwise deltas as 2-D [ti, tj] planes (i = row, j = col)
+        dpx = pix - xj[:, 0][None, :]
+        dpy = piy - xj[:, 1][None, :]
+        dvx = vix - xj[:, 2][None, :]
+        dvy = viy - xj[:, 3][None, :]
 
-        def compute(_):
-            # pairwise deltas as 2-D [ti, tj] planes (i = row, j = col)
-            dpx = pix - xj[:, 0][None, :]
-            dpy = piy - xj[:, 1][None, :]
-            dvx = vix - xj[:, 2][None, :]
-            dvy = viy - xj[:, 3][None, :]
+        dist = jnp.sqrt(dpx * dpx + dpy * dpy)
+        # bearing: cos angle between Δp and v_i (train.py:221-226)
+        bearing = (dpx * vix + dpy * viy) / (dist * vi_norm + 1e-6)
+        # DCA (train.py:208-218)
+        ttca = -(dpx * dvx + dpy * dvy) / (dvx * dvx + dvy * dvy + 1e-6)
+        cax = dpx + ttca * dvx
+        cay = dpy + ttca * dvy
+        dca = jnp.sqrt(cax * cax + cay * cay)
 
-            dist = jnp.sqrt(dpx * dpx + dpy * dpy)
-            # bearing: cos angle between Δp and v_i (train.py:221-226)
-            bearing = (dpx * vix + dpy * viy) / (dist * vi_norm + 1e-6)
-            # DCA (train.py:208-218)
-            ttca = -(dpx * dvx + dpy * dvy) / (dvx * dvx + dvy * dvy + 1e-6)
-            cax = dpx + ttca * dvx
-            cay = dpy + ttca * dvy
-            dca = jnp.sqrt(cax * cax + cay * cay)
+        # embed: [ti*tj, 3] → MLP → [ti*tj, feat]
+        f = jnp.stack([dist, bearing, dca], axis=-1).reshape(ti * tj, 3)
+        f = jnp.maximum(
+            jnp.dot(f, w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[:], 0.0)
+        f = jnp.maximum(
+            jnp.dot(f, w2_ref[:], preferred_element_type=jnp.float32)
+            + b2_ref[:], 0.0)
+        f = (jnp.dot(f, w3_ref[:], preferred_element_type=jnp.float32)
+             + b3_ref[:])                        # [ti*tj, feat]
 
-            # embed: [ti*tj, 3] → MLP → [ti*tj, feat]
-            f = jnp.stack([dist, bearing, dca], axis=-1).reshape(ti * tj, 3)
-            f = jnp.maximum(
-                jnp.dot(f, w1_ref[:], preferred_element_type=jnp.float32)
-                + b1_ref[:], 0.0)
-            f = jnp.maximum(
-                jnp.dot(f, w2_ref[:], preferred_element_type=jnp.float32)
-                + b2_ref[:], 0.0)
-            f = (jnp.dot(f, w3_ref[:], preferred_element_type=jnp.float32)
-                 + b3_ref[:])                        # [ti*tj, feat]
+        # scores σ_ij = f_ij · wh_j
+        whj = wh_ref[pl.ds(j0, tj), :]           # [tj, feat]
+        whj_rep = jnp.broadcast_to(whj[None, :, :], (ti, tj, feat)
+                                   ).reshape(ti * tj, feat)
+        scores = jnp.sum(f * whj_rep, axis=-1).reshape(ti, tj)
 
-            # scores σ_ij = f_ij · wh_j
-            whj = wh_ref[pl.ds(j0, tj), :]           # [tj, feat]
-            whj_rep = jnp.broadcast_to(whj[None, :, :], (ti, tj, feat)
-                                       ).reshape(ti * tj, feat)
-            scores = jnp.sum(f * whj_rep, axis=-1).reshape(ti, tj)
+        # scene mask: same id, both valid, not self
+        same = ids_i == ids_j[:, 0][None, :]
+        valid = jnp.logical_and(ids_i >= 0, ids_j[:, 0][None, :] >= 0)
+        col_g = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+        not_self = row_g != col_g
+        mask = jnp.logical_and(jnp.logical_and(same, valid), not_self)
+        scores = jnp.where(mask, scores, _NEG)
 
-            # scene mask: same id, both valid, not self
-            same = ids_i == ids_j[:, 0][None, :]
-            valid = jnp.logical_and(ids_i >= 0, ids_j[:, 0][None, :] >= 0)
-            col_g = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-            not_self = row_g != col_g
-            mask = jnp.logical_and(jnp.logical_and(same, valid), not_self)
-            scores = jnp.where(mask, scores, _NEG)
-
-            # streaming softmax update
-            m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
-            corr = jnp.exp(m - m_new)
-            p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
-            hj = h_ref[pl.ds(j0, tj), :]             # [tj, H]
-            acc_new = acc * corr + jnp.dot(
-                p, hj, preferred_element_type=jnp.float32)
-            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            return m_new, l_new, acc_new
-
-        return jax.lax.cond(overlap, compute, lambda _: (m, l, acc),
-                            operand=None)
+        # streaming softmax update
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
+        hj = h_ref[pl.ds(j0, tj), :]             # [tj, H]
+        acc_new = acc * corr + jnp.dot(
+            p, hj, preferred_element_type=jnp.float32)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        return m_new, l_new, acc_new
 
     hdim = h_ref.shape[-1]
     m0 = jnp.full((ti, 1), _NEG, jnp.float32)
     l0 = jnp.zeros((ti, 1), jnp.float32)
     acc0 = jnp.zeros((ti, hdim), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n // tj, j_body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(jstart_ref[i], jend_ref[i] + 1, j_body,
+                                  (m0, l0, acc0))
 
     # agents with no neighbors (singleton scenes / padding) → zero vector
     out_ref[:] = jnp.where(l > 0, acc / jnp.maximum(l, 1e-20), 0.0)
@@ -153,37 +151,59 @@ def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
     w1, w2, w3 = params["feat_mlp"]
     ids2d = scene_ids.astype(jnp.int32).reshape(n_tot, 1)
 
+    # per-i-tile j-tile band: scene ids are sorted (padding −1 at the end is
+    # remapped to a +sentinel so the order stays monotone); tile jt overlaps
+    # i-tile it iff [jmin, jmax] ∩ [imin, imax] ≠ ∅, which for sorted ids is
+    # a contiguous band — computed here in XLA and scalar-prefetched
+    sent = jnp.where(scene_ids >= 0, scene_ids.astype(jnp.int32),
+                     jnp.iinfo(jnp.int32).max)
+    i_min = sent.reshape(n_tot // ti, ti).min(axis=1)
+    i_max = sent.reshape(n_tot // ti, ti).max(axis=1)
+    j_min = sent.reshape(n_tot // tj, tj).min(axis=1)
+    j_max = sent.reshape(n_tot // tj, tj).max(axis=1)
+    # first jt with j_max[jt] >= i_min[it]; last jt with j_min[jt] <= i_max[it]
+    jstart = jnp.searchsorted(j_max, i_min, side="left").astype(jnp.int32)
+    jend = (jnp.searchsorted(j_min, i_max, side="right") - 1).astype(
+        jnp.int32)
+    n_jt = n_tot // tj
+    jstart = jnp.clip(jstart, 0, n_jt - 1)
+    jend = jnp.clip(jend, jstart, n_jt - 1)
+
     kern = functools.partial(_kernel, ti=ti, tj=tj, n=n_tot, feat=feat)
     out = pl.pallas_call(
         kern,
-        grid=(n_tot // ti,),
-        in_specs=[
-            pl.BlockSpec((n_tot, 4), lambda i: (0, 0),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tot // ti,),
+            in_specs=[
+            pl.BlockSpec((n_tot, 4), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tot, 1), lambda i: (0, 0),
+            pl.BlockSpec((n_tot, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tot, hdim), lambda i: (0, 0),
+            pl.BlockSpec((n_tot, hdim), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tot, feat), lambda i: (0, 0),
+            pl.BlockSpec((n_tot, feat), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w1["w"].shape, lambda i: (0, 0),
+            pl.BlockSpec(w1["w"].shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w1["b"].shape, lambda i: (0,),
+            pl.BlockSpec(w1["b"].shape, lambda i, *_: (0,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w2["w"].shape, lambda i: (0, 0),
+            pl.BlockSpec(w2["w"].shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w2["b"].shape, lambda i: (0,),
+            pl.BlockSpec(w2["b"].shape, lambda i, *_: (0,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w3["w"].shape, lambda i: (0, 0),
+            pl.BlockSpec(w3["w"].shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w3["b"].shape, lambda i: (0,),
+            pl.BlockSpec(w3["b"].shape, lambda i, *_: (0,),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ti, hdim), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ti, hdim), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((n_tot, hdim), jnp.float32),
         interpret=interpret,
-    )(x4_last.astype(jnp.float32), ids2d, h_p.astype(jnp.float32),
+    )(jstart, jend,
+      x4_last.astype(jnp.float32), ids2d, h_p.astype(jnp.float32),
       wh.astype(jnp.float32),
       w1["w"], w1["b"], w2["w"], w2["b"], w3["w"], w3["b"])
     return out[:n].astype(h.dtype)
