@@ -74,7 +74,7 @@ def _bench_ours(n_steps: int = 50):
     return n_steps / elapsed, jax.devices()[0].platform
 
 
-def _bench_ours_scanned(n_steps: int = 200):
+def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32"):
     """Device-side throughput: the trainer's production epoch-on-device
     mode (lax.scan over GAN steps) — no per-step host dispatch at all."""
     import functools
@@ -87,7 +87,8 @@ def _bench_ours_scanned(n_steps: int = 200):
     cfg = TrainConfig(hidden_size=HIDDEN, social_feature_size=HIDDEN,
                       noise_len=HIDDEN // 2, n_past=N_PAST, n_next=N_NEXT,
                       batch_size=BATCH, n_unrolling_steps=1,
-                      use_info_loss=True, use_social=False)
+                      use_info_loss=True, use_social=False,
+                      compute_dtype=compute_dtype)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
     batch = {
@@ -276,18 +277,23 @@ def get_reference_baseline() -> float:
 def main():
     steps_per_sec, platform = _bench_ours()
     scanned_sps = _bench_ours_scanned()
+    bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
     agent_steps = _bench_rollout_agent_steps()
     baseline = get_reference_baseline()
-    best = max(steps_per_sec, scanned_sps)
+    best = max(steps_per_sec, scanned_sps, bf16_sps)
+    cfg_tag = f"h{HIDDEN}-b{BATCH}-unroll1-info"
+    if best == bf16_sps:
+        cfg_tag += "-bf16"
     print(json.dumps({
         "metric": "gan_train_steps_per_sec_per_chip",
         "value": round(best, 2),
         "unit": "steps/s",
         "vs_baseline": round(best / baseline, 2),
         "platform": platform,
-        "config": f"h{HIDDEN}-b{BATCH}-unroll1-info",
+        "config": cfg_tag,
         "dispatch_loop_steps_per_sec": round(steps_per_sec, 2),
         "epoch_on_device_steps_per_sec": round(scanned_sps, 2),
+        "bf16_epoch_on_device_steps_per_sec": round(bf16_sps, 2),
         "rollout_agent_steps_per_sec": round(agent_steps, 1),
         "baseline_torch_eager_steps_per_sec": round(baseline, 3),
     }))

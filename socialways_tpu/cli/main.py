@@ -52,6 +52,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dump-dir", default="")
     p.add_argument("--host-loop", action="store_true",
                    help="per-chunk host loop instead of epoch-on-device")
+    p.add_argument("--bf16", action="store_true",
+                   help="run generator/discriminator forward math in "
+                        "bfloat16 on the MXU (f32 master params, f32 "
+                        "losses); float32 remains the parity default")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU only; long "
                         "first compile)")
@@ -109,6 +113,8 @@ def _cfg_from_args(args) -> "TrainConfig":
         epoch_on_device=not args.host_loop,
         use_pallas=getattr(args, "pallas", False),
         grad_clip=getattr(args, "grad_clip", 0.0),
+        compute_dtype="bfloat16" if getattr(args, "bf16", False)
+        else "float32",
     )
 
 

@@ -71,7 +71,12 @@ class TrainConfig:
 
     # ---- runtime ----
     seed: int = 0
-    dtype: str = "float32"       # compute dtype for the model
+    dtype: str = "float32"       # parameter / optimizer (master) dtype
+    # forward-pass dtype: "bfloat16" runs generator + discriminator forward
+    # math on the MXU in bf16 (f32 accumulation, f32 losses/optimizer —
+    # master params stay `dtype`); "float32" (default) is exact reference
+    # parity
+    compute_dtype: str = "float32"
     use_pallas: bool = False     # Pallas kernels for hot ops (TPU only)
     mesh_shape: Optional[int] = None  # devices on the 'data' axis (None = all)
     epoch_on_device: bool = True      # lax.scan over packed batches

@@ -38,6 +38,12 @@ def crowd_simulate(
     internally drawn stream (used by the sharded variant for exact parity).
     """
     n, n_past, _ = obsv0.shape
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if cdt != obsv0.dtype:
+        g_params = jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
+        obsv0 = obsv0.astype(cdt)
     if noise is None:
         keys = jax.random.split(rng, n_windows)
         noise = jax.vmap(
@@ -54,8 +60,10 @@ def crowd_simulate(
         return new_obsv, pos
 
     _, windows = jax.lax.scan(window, obsv0, noise)
-    # [n_windows, N, n_next, 2] → [N, n_windows*n_next, 2]
-    return jnp.moveaxis(windows, 0, 1).reshape(n, n_windows * cfg.n_next, 2)
+    # [n_windows, N, n_next, 2] → [N, n_windows*n_next, 2]; trajectories are
+    # reported in float32 regardless of the compute dtype
+    return jnp.moveaxis(windows, 0, 1).reshape(
+        n, n_windows * cfg.n_next, 2).astype(jnp.float32)
 
 
 def crowd_simulate_sharded(

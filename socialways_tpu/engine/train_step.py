@@ -106,6 +106,15 @@ def gan_step(
     """
     g_tx, d_tx = make_optimizers(cfg)
     dtype = jnp.dtype(cfg.dtype)
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if cdt == dtype:
+        cast = lambda t: t                       # exact-parity fast path
+    else:
+        # bf16 mixed precision: forward math in cdt, losses/grads/optimizer
+        # in the master dtype (grads of an astype cast back automatically)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
     obsv = batch["obsvs"].astype(dtype)
     pred = batch["preds"].astype(dtype)
     scene_ids, valid = batch["scene_ids"], batch["valid"]
@@ -140,9 +149,10 @@ def gan_step(
     obsv_4d, pred_4d = get_traj_4d(obsv, pred)
 
     def rollout(g_params, z):
-        return generator_rollout(g_params, obsv, z, cfg.n_next, scene_ids,
-                                 cfg.use_social, cfg.decoder,
-                                 cfg.use_pallas)
+        out = generator_rollout(cast(g_params), cast(obsv), cast(z),
+                                cfg.n_next, scene_ids, cfg.use_social,
+                                cfg.decoder, cfg.use_pallas)
+        return out.astype(dtype)
 
     # fake rollout for the D phase — same value every unroll iteration in
     # the reference (same noise, same G), so compute once and detach
@@ -156,10 +166,12 @@ def gan_step(
                                                      encode_obsv)
 
     def d_loss_fn(d_params):
-        obsv_code = encode_obsv(d_params, obsv_4d)
+        dp = cast(d_params)
+        obsv_code = encode_obsv(dp, cast(obsv_4d))
         labels, codes = discriminator_heads(
-            d_params, obsv_code,
-            jnp.concatenate([pred_hat_4d_d, pred_4d], axis=0))
+            dp, obsv_code,
+            cast(jnp.concatenate([pred_hat_4d_d, pred_4d], axis=0)))
+        labels, codes = labels.astype(dtype), codes.astype(dtype)
         fake_label, real_label = labels[:n], labels[n:]
         fake_code = codes[:n]
         return lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
@@ -182,8 +194,11 @@ def gan_step(
     # ---------------- G phase against the unrolled D -----------------------
     def g_loss_fn(g_params):
         pred_hat_4d = rollout(g_params, noise)
-        gen_label, gen_code = discriminator_apply(d_params, obsv_4d,
-                                                  pred_hat_4d)
+        gen_label, gen_code = discriminator_apply(cast(d_params),
+                                                  cast(obsv_4d),
+                                                  cast(pred_hat_4d))
+        gen_label = gen_label.astype(dtype)
+        gen_code = gen_code.astype(dtype)
         loss = lsgan_g_loss(gen_label, gen_code, noise, valid, ones_t,
                             cfg.use_info_loss, cfg.loss_info_w,
                             cfg.n_latent_codes)

@@ -38,6 +38,12 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
     from socialways_tpu.models.generator import decode_rollout, prepare_rollout
 
     n = obsv.shape[0]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if cdt != obsv.dtype:
+        g_params = jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
+        obsv = obsv.astype(cdt)
     noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas)
@@ -59,8 +65,10 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
 
 def k_sample_errors(pred_hat_k: jnp.ndarray, pred: jnp.ndarray
                     ) -> jnp.ndarray:
-    """[K, N, T, {2,4}] predictions vs [N, T, 2] truth → [K, N, T] errors."""
-    d = pred_hat_k[..., :2] - pred[None, ..., :2]
+    """[K, N, T, {2,4}] predictions vs [N, T, 2] truth → [K, N, T] errors
+    (always float32 — bf16 rollouts are scored in full precision)."""
+    d = (pred_hat_k[..., :2].astype(jnp.float32)
+         - pred[None, ..., :2].astype(jnp.float32))
     return jnp.sqrt(jnp.sum(d * d, axis=-1))
 
 

@@ -37,16 +37,21 @@ def lstm_init(key: jax.Array, in_dim: int, hidden: int,
 
 
 def lstm_cell(p: Params, x: jnp.ndarray, state: LSTMState) -> LSTMState:
-    """One step. x: [..., in_dim]; state h,c: [..., hidden]."""
+    """One step. x: [..., in_dim]; state h,c: [..., hidden].
+
+    The gate GEMM accumulates in float32 and the gate nonlinearities run in
+    float32 regardless of the activation dtype; the new state is cast back
+    to the carry dtypes (bf16 mixed precision keeps the MXU operands bf16
+    while the recurrence math stays full-precision within a step)."""
     h, c = state
-    hidden = h.shape[-1]
-    gates = jnp.dot(jnp.concatenate([x, h], axis=-1), p["w"],
-                    preferred_element_type=x.dtype) + p["b"]
+    gates = (jnp.dot(jnp.concatenate([x, h], axis=-1), p["w"],
+                     preferred_element_type=jnp.float32)
+             + p["b"].astype(jnp.float32))
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    c32 = c.astype(jnp.float32)
+    c_new = jax.nn.sigmoid(f) * c32 + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    del hidden
-    return h_new, c_new
+    return h_new.astype(h.dtype), c_new.astype(c.dtype)
 
 
 def lstm_seq(p: Params, xs: jnp.ndarray, state: LSTMState

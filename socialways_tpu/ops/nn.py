@@ -33,7 +33,14 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int,
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+    """Matmul with float32 accumulation, output in the activation dtype.
+
+    Under bfloat16 mixed precision the MXU takes bf16 operands but the
+    partial sums accumulate in f32 (preferred_element_type); the result is
+    cast back so activations stay bf16 between layers."""
+    y = (jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+         + p["b"].astype(jnp.float32))
+    return y.astype(x.dtype)
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
