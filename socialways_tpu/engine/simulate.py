@@ -76,19 +76,27 @@ def crowd_simulate_sharded(
     mesh,
     axis_name: str = "data",
     noise: jnp.ndarray | None = None,
+    neighbor_exchange: str = "gather",
 ) -> jnp.ndarray:
     """Multi-chip crowd simulation: agents sharded over the mesh; each
     window's social attention runs the agents-axis sharded form
-    (parallel.agents — one all_gather of per-agent keys per window), and
-    the encode/decode stay device-local.  Bit-equivalent to
-    :func:`crowd_simulate` given the same noise stream."""
+    (parallel.agents), and the encode/decode stay device-local.
+    Bit-equivalent to :func:`crowd_simulate` given the same noise stream.
+
+    ``neighbor_exchange``: "gather" (one all_gather of per-agent keys per
+    window) or "ring" (ppermute-streamed neighbor blocks + flash softmax —
+    constant per-device memory in mesh size)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from socialways_tpu.models.generator import (decode_rollout,
                                                  encode_observation)
     from socialways_tpu.ops.traj import obsv_to_4d
-    from socialways_tpu.parallel.agents import sharded_social_context
+    from socialways_tpu.parallel.agents import (ring_social_context,
+                                                sharded_social_context)
+
+    social_ctx = (ring_social_context if neighbor_exchange == "ring"
+                  else sharded_social_context)
 
     n, n_past, _ = obsv0.shape
     if noise is None:
@@ -103,8 +111,8 @@ def crowd_simulate_sharded(
             obsv_4d = obsv_to_4d(obsv)
             h, c = encode_observation(g_params, obsv_4d)
             if cfg.use_social:
-                s = sharded_social_context(g_params, obsv_4d[:, -1], h,
-                                           ids_local, axis_name)
+                s = social_ctx(g_params, obsv_4d[:, -1], h,
+                               ids_local, axis_name)
             else:
                 s = jnp.zeros_like(h)
             pred = decode_rollout(g_params, (h, c, s, obsv[:, -1]), z,

@@ -1,5 +1,6 @@
 from socialways_tpu.parallel.agents import (
     make_sharded_social_context,
+    ring_social_context,
     sharded_social_context,
 )
 from socialways_tpu.parallel.mesh import (
@@ -12,4 +13,5 @@ from socialways_tpu.parallel.mesh import (
 
 __all__ = ["DATA_AXIS", "make_dp_eval_chunk", "make_dp_train_step",
            "make_mesh", "shard_packed_for_mesh",
-           "make_sharded_social_context", "sharded_social_context"]
+           "make_sharded_social_context", "ring_social_context",
+           "sharded_social_context"]

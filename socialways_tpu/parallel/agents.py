@@ -11,9 +11,13 @@ Per-agent payload is 4+H+1 floats (~276 B at H=64), so even 100k agents
 gather ~28 MB — the N² pair computation, which is what actually explodes,
 never crosses devices.
 
-A ring-scheduled variant (neighbor blocks streamed with
-``make_async_remote_copy`` instead of a full gather) is the natural next
-refinement when the gathered keys no longer fit.
+:func:`ring_social_context` is the ring-scheduled refinement for when the
+gathered keys no longer fit (or to overlap compute with communication): the
+neighbor key block circulates the mesh ring via ``ppermute`` — the
+agents-axis analogue of ring attention — with a streaming (flash-style)
+softmax, so each device only ever holds ONE remote block.  Peak memory per
+device drops from O(N_global·(4+H)) gathered keys + O(N_local·N_global)
+scores to O(N_local·(4+H)) + O(N_local²) regardless of mesh size.
 """
 
 from __future__ import annotations
@@ -82,6 +86,86 @@ def sharded_social_context(
     pooled = jnp.einsum("ij,jf->if", attn, h_all)
     has_nb = jnp.any(mask, axis=-1, keepdims=True)
     return jnp.where(has_nb, pooled, 0.0)
+
+
+def _block_scores(params, x4_last, h_q, scene_ids, x4_j, h_j, ids_j,
+                  row_g, col_g):
+    """Masked attention scores of local queries against ONE neighbor block.
+
+    Math identical to ops.social.social_features + the score side of
+    attention_pool (same 1e-6 epsilons, reference train.py:208-226);
+    returns (scores [N_local, N_block] with −1e9 at masked pairs, mask)."""
+    p_i, v_i = x4_last[:, :2], x4_last[:, 2:]
+    p_j, v_j = x4_j[:, :2], x4_j[:, 2:]
+    dp = p_i[:, None, :] - p_j[None, :, :]
+    dv = v_i[:, None, :] - v_j[None, :, :]
+
+    dist = jnp.linalg.norm(dp, axis=-1)
+    dot_dp_v = jnp.einsum("ijk,ik->ij", dp, v_i)
+    bearing = dot_dp_v / (dist * jnp.linalg.norm(v_i, axis=-1)[:, None]
+                          + 1e-6)
+    dot_dp_dv = jnp.sum(dp * dv, axis=-1)
+    ttca = -dot_dp_dv / (jnp.sum(dv * dv, axis=-1) + 1e-6)
+    dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+
+    feats = jnp.stack([dist, bearing, dca], axis=-1)
+    f_emb = mlp_apply(params["feat_mlp"], feats)      # [N_local, N_blk, F]
+    wh_j = linear_apply(params["attn_w"], h_j)        # [N_blk, F]
+    scores = jnp.einsum("ijf,jf->ij", f_emb, wh_j)
+
+    same = scene_ids[:, None] == ids_j[None, :]
+    valid = (scene_ids[:, None] >= 0) & (ids_j[None, :] >= 0)
+    mask = same & valid & (row_g != col_g)
+    return jnp.where(mask, scores, _NEG), mask
+
+
+def ring_social_context(
+    params: Dict,
+    x4_last: jnp.ndarray,     # [N_local, 4]
+    h: jnp.ndarray,           # [N_local, H]
+    scene_ids: jnp.ndarray,   # [N_local]
+    axis_name: str,
+) -> jnp.ndarray:
+    """Ring-scheduled social context (agents-axis ring attention).
+
+    The neighbor key block (x4, h, ids — ~(5+H) floats/agent) circulates
+    the mesh ring: at hop r each device scores its local queries against
+    the block that originated on device (my_index − r) mod D, folds it into
+    a streaming masked softmax, and ``ppermute``s the block to the next
+    ring neighbor over ICI.  Equals :func:`sharded_social_context` (and the
+    single-device ops.social math) up to float reassociation of the
+    softmax accumulation.
+
+    Call inside shard_map with the agents axis sharded.
+    """
+    d = jax.lax.axis_size(axis_name)
+    n_local = x4_last.shape[0]
+    my = jax.lax.axis_index(axis_name)
+    row_g = (my * n_local + jnp.arange(n_local))[:, None]
+    perm = [(i, (i + 1) % d) for i in range(d)]
+    hdim = h.shape[-1]
+
+    m = jnp.full((n_local, 1), _NEG, x4_last.dtype)
+    l = jnp.zeros((n_local, 1), x4_last.dtype)
+    acc = jnp.zeros((n_local, hdim), h.dtype)
+    x4_j, h_j, ids_j = x4_last, h, scene_ids
+
+    for r in range(d):                 # static mesh size — unrolled ring
+        src = (my - r) % d             # block's origin device
+        col_g = (src * n_local + jnp.arange(n_local))[None, :]
+        scores, mask = _block_scores(params, x4_last, h, scene_ids,
+                                     x4_j, h_j, ids_j, row_g, col_g)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
+        acc = acc * corr + p @ h_j
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        m = m_new
+        if r < d - 1:                  # rotate the block one ICI hop
+            x4_j = jax.lax.ppermute(x4_j, axis_name, perm)
+            h_j = jax.lax.ppermute(h_j, axis_name, perm)
+            ids_j = jax.lax.ppermute(ids_j, axis_name, perm)
+    return jnp.where(l > 0, acc / jnp.maximum(l, 1e-20), 0.0)
 
 
 def make_sharded_social_context(params: Dict, mesh, axis_name: str = "data"):

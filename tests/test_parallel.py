@@ -177,3 +177,65 @@ def test_sharded_crowd_sim_equals_single_device(mesh):
                                  noise=noise)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_ring_social_context_equals_gather(mesh):
+    """Ring-scheduled (ppermute-streamed) agents-axis attention == the
+    all_gather form == the single-device reference."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from socialways_tpu.models import init_generator
+    from socialways_tpu.parallel.agents import ring_social_context
+    from socialways_tpu.kernels.social_attention import _xla_reference
+
+    cfg = CFG.replace(hidden_size=32, social_feature_size=32)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+
+    rng = np.random.RandomState(1)
+    n = 8 * 16
+    x4 = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    ids = np.zeros(n, np.int32)
+    ids[40:80] = 1           # scene spanning shards
+    ids[100:101] = 5         # singleton scene (no neighbors -> zeros)
+    ids[-8:] = -1            # padding
+    ids = jnp.asarray(ids)
+
+    ref = _xla_reference(p, x4, h, ids)
+    fn = jax.jit(shard_map(
+        lambda a, b, c: ring_social_context(p, a, b, c, "data"),
+        mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False))
+    got = fn(x4, h, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_crowd_sim_equals_single_device(mesh):
+    """Crowd sim with neighbor_exchange='ring' == single-device sim."""
+    from socialways_tpu.engine.simulate import (crowd_simulate,
+                                                crowd_simulate_sharded)
+    from socialways_tpu.models import init_generator
+
+    cfg = CFG.replace(hidden_size=16, social_feature_size=16, noise_len=8,
+                      n_past=4, n_next=3, use_social=True)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    n, n_windows = 8 * 8, 2
+    obsv0 = jnp.asarray(np.cumsum(rng.randn(n, 4, 2) * 0.01, 1)
+                        .astype(np.float32))
+    ids = np.zeros(n, np.int32)
+    ids[20:44] = 1
+    ids[44:] = 2
+    ids = jnp.asarray(ids)
+    noise = jnp.asarray(rng.rand(n_windows, n, 8).astype(np.float32))
+
+    ref = crowd_simulate(params, obsv0, ids, n_windows,
+                         jax.random.PRNGKey(1), cfg, noise=noise)
+    got = crowd_simulate_sharded(params, obsv0, ids, n_windows,
+                                 jax.random.PRNGKey(1), cfg, mesh,
+                                 noise=noise, neighbor_exchange="ring")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
