@@ -3,6 +3,11 @@ from socialways_tpu.parallel.agents import (
     ring_social_context,
     sharded_social_context,
 )
+from socialways_tpu.parallel.datafeed import (
+    global_batch_from_local,
+    host_chunk_feed,
+    local_group_slice,
+)
 from socialways_tpu.parallel.mesh import (
     DATA_AXIS,
     make_dp_eval_chunk,
@@ -14,4 +19,5 @@ from socialways_tpu.parallel.mesh import (
 __all__ = ["DATA_AXIS", "make_dp_eval_chunk", "make_dp_train_step",
            "make_mesh", "shard_packed_for_mesh",
            "make_sharded_social_context", "ring_social_context",
-           "sharded_social_context"]
+           "sharded_social_context", "global_batch_from_local",
+           "host_chunk_feed", "local_group_slice"]

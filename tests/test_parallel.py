@@ -239,3 +239,42 @@ def test_ring_crowd_sim_equals_single_device(mesh):
                                  noise=noise, neighbor_exchange="ring")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_host_chunk_feed_matches_shard_packed(toy_npz, mesh):
+    """Multi-host feed (single-process degenerate case): streaming
+    host_chunk_feed batches through the DP step produces the same metrics
+    as the resident shard_packed_for_mesh layout."""
+    from socialways_tpu.parallel import host_chunk_feed
+
+    ds = load_npz_dataset(toy_npz)
+    packed = pack_scene_batches(ds.obsvs[:ds.n_train_samples],
+                                ds.preds[:ds.n_train_samples],
+                                ds.train_batches, batch_size=24)
+    cfg = CFG.replace(batch_size=24, n_past=ds.obsvs.shape[1],
+                      n_next=ds.preds.shape[1])
+    step = make_dp_train_step(cfg, mesh)
+
+    resident = shard_packed_for_mesh(packed, mesh)
+    n_groups = resident["obsvs"].shape[0]
+
+    state_a = init_train_state(jax.random.PRNGKey(0), cfg)
+    state_b = init_train_state(jax.random.PRNGKey(0), cfg)
+    seen = 0
+    for g, batch in host_chunk_feed(packed, mesh):
+        res_batch = {k: v[g] for k, v in resident.items()}
+        for k in res_batch:
+            np.testing.assert_array_equal(np.asarray(batch[k]),
+                                          np.asarray(res_batch[k]))
+        state_a, ma = step(state_a, batch, jax.random.PRNGKey(g))
+        state_b, mb = step(state_b, res_batch, jax.random.PRNGKey(g))
+        assert float(ma.g_loss) == float(mb.g_loss)
+        seen += 1
+    assert seen == n_groups
+
+
+def test_local_group_slice_partitions_evenly():
+    from socialways_tpu.parallel import local_group_slice
+    got = [local_group_slice(8, pi, 4) for pi in range(4)]
+    idx = [list(range(8))[s] for s in got]
+    assert sum(idx, []) == list(range(8))
