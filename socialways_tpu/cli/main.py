@@ -38,6 +38,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-info-loss", action="store_true")
     p.add_argument("--info-weight", type=float, default=0.5)
     p.add_argument("--n-latent-codes", type=int, default=2)
+    p.add_argument("--latent-code", default="continuous",
+                   choices=["continuous", "categorical"],
+                   help="InfoGAN code type: continuous (reference parity, "
+                        "MSE Q-loss on the first noise dims) or categorical "
+                        "(one-hot code + cross-entropy Q-loss — better for "
+                        "discretely multi-modal data)")
     p.add_argument("--use-l2-loss", action="store_true")
     p.add_argument("--use-variety-loss", action="store_true")
     p.add_argument("--l2-weight", type=float, default=0.5)
@@ -99,6 +105,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         use_info_loss=not args.no_info_loss,
         loss_info_w=args.info_weight,
         n_latent_codes=args.n_latent_codes,
+        latent_code_type=getattr(args, "latent_code", "continuous"),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

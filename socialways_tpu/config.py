@@ -53,6 +53,13 @@ class TrainConfig:
     use_info_loss: bool = True
     loss_info_w: float = 0.5
     n_latent_codes: int = 2
+    # "continuous" (reference parity): Q-head regresses the first
+    # n_latent_codes noise dims with MSE (train.py:485,516).
+    # "categorical": classic InfoGAN — a uniform categorical code
+    # one-hot-embedded in the first n_latent_codes noise dims, Q-head
+    # trained with softmax cross-entropy; the right inductive bias when the
+    # target distribution has discrete modes (the toy's 3 turn modes).
+    latent_code_type: str = "continuous"
     use_l2_loss: bool = False
     use_variety_loss: bool = False
     loss_l2_w: float = 0.5

@@ -14,7 +14,45 @@ reference's ``nn.MSELoss`` means.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def sample_noise(key: jax.Array, n: int, cfg, dtype=jnp.float32
+                 ) -> jnp.ndarray:
+    """Draw the generator's noise vector(s), [n, noise_len].
+
+    Continuous (reference parity): uniform [0,1) — the exact stream of
+    ``jax.random.uniform(key, (n, noise_len))`` (train.py:473).
+    Categorical: a uniform categorical code one-hot-embedded into the first
+    ``n_latent_codes`` dims (the rest stays uniform)."""
+    z = jax.random.uniform(key, (n, cfg.noise_len), dtype)
+    if cfg.latent_code_type == "categorical":
+        c = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0,
+                               cfg.n_latent_codes)
+        onehot = jax.nn.one_hot(c, cfg.n_latent_codes, dtype=dtype)
+        z = jnp.concatenate([onehot, z[:, cfg.n_latent_codes:]], axis=1)
+    return z
+
+
+def masked_xent(logits: jnp.ndarray, labels: jnp.ndarray,
+                valid: jnp.ndarray) -> jnp.ndarray:
+    """Softmax cross-entropy over valid samples. logits [N, C], labels [N]."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+
+
+def info_loss(code_hat: jnp.ndarray, noise: jnp.ndarray, valid: jnp.ndarray,
+              n_latent_codes: int, latent_code_type: str) -> jnp.ndarray:
+    """InfoGAN mutual-information surrogate.  The code is always recovered
+    from the noise tensor (it is embedded in the first n_latent_codes
+    dims), so every caller that has the noise has the target."""
+    target = noise[:, :n_latent_codes]
+    if latent_code_type == "categorical":
+        return masked_xent(code_hat, jnp.argmax(target, axis=-1), valid)
+    return masked_mse(code_hat, target, valid)
 
 
 def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
@@ -36,24 +74,25 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
 
 def lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
                  zeros_target, ones_target, use_info_loss: bool,
-                 loss_info_w: float, n_latent_codes: int):
+                 loss_info_w: float, n_latent_codes: int,
+                 latent_code_type: str = "continuous"):
     """Discriminator loss (train.py:482-494). Labels are [N, 1]."""
     loss = (masked_mse(fake_label, zeros_target, valid)
             + masked_mse(real_label, ones_target, valid))
     if use_info_loss:
-        loss = loss + loss_info_w * masked_mse(
-            fake_code, noise[:, :n_latent_codes], valid)
+        loss = loss + loss_info_w * info_loss(
+            fake_code, noise, valid, n_latent_codes, latent_code_type)
     return loss
 
 
 def lsgan_g_loss(gen_label, gen_code, noise, valid, ones_target,
                  use_info_loss: bool, loss_info_w: float,
-                 n_latent_codes: int):
+                 n_latent_codes: int, latent_code_type: str = "continuous"):
     """Generator fooling (+ info) loss (train.py:510-523)."""
     loss = masked_mse(gen_label, ones_target, valid)
     if use_info_loss:
-        loss = loss + loss_info_w * masked_mse(
-            gen_code, noise[:, :n_latent_codes], valid)
+        loss = loss + loss_info_w * info_loss(
+            gen_code, noise, valid, n_latent_codes, latent_code_type)
     return loss
 
 

@@ -45,10 +45,10 @@ def crowd_simulate(
             if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
         obsv0 = obsv0.astype(cdt)
     if noise is None:
+        from socialways_tpu.engine.losses import sample_noise
         keys = jax.random.split(rng, n_windows)
         noise = jax.vmap(
-            lambda k: jax.random.uniform(k, (n, cfg.noise_len),
-                                         obsv0.dtype))(keys)
+            lambda k: sample_noise(k, n, cfg, obsv0.dtype))(keys)
 
     def window(carry, z):
         obsv = carry
@@ -100,10 +100,10 @@ def crowd_simulate_sharded(
 
     n, n_past, _ = obsv0.shape
     if noise is None:
+        from socialways_tpu.engine.losses import sample_noise
         keys = jax.random.split(rng, n_windows)
         noise = jax.vmap(
-            lambda k: jax.random.uniform(k, (n, cfg.noise_len),
-                                         obsv0.dtype))(keys)
+            lambda k: sample_noise(k, n, cfg, obsv0.dtype))(keys)
 
     def local_sim(obsv_local, ids_local, noise_local):
         def window(carry, z):

@@ -32,6 +32,7 @@ from socialways_tpu.engine.losses import (
     l2_traj_loss,
     lsgan_d_loss,
     lsgan_g_loss,
+    sample_noise,
     traj_errors,
     variety_loss,
 )
@@ -138,8 +139,9 @@ def gan_step(
         w = local * n_dev / jnp.maximum(glob, 1.0)
         grads = jax.tree_util.tree_map(lambda g: g * w, grads)
         return jax.lax.pmean(grads, axis_name)
-    # uniform [0,1) noise, shared by all D unroll steps and the G step
-    noise = jax.random.uniform(k_noise, (n, cfg.noise_len), obsv.dtype)
+    # uniform [0,1) noise (with the latent code embedded in the first dims
+    # when categorical), shared by all D unroll steps and the G step
+    noise = sample_noise(k_noise, n, cfg, obsv.dtype)
     # one label-smoothing scalar per batch (train.py:471-472)
     zeros_t = jnp.zeros((n, 1), obsv.dtype) + jax.random.uniform(
         k_zero, (), obsv.dtype, 0.0, 0.1)
@@ -176,7 +178,8 @@ def gan_step(
         fake_code = codes[:n]
         return lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
                             zeros_t, ones_t, cfg.use_info_loss,
-                            cfg.loss_info_w, cfg.n_latent_codes)
+                            cfg.loss_info_w, cfg.n_latent_codes,
+                            cfg.latent_code_type)
 
     d_params, d_opt = state.d_params, state.d_opt
     d_backup = None
@@ -201,15 +204,14 @@ def gan_step(
         gen_code = gen_code.astype(dtype)
         loss = lsgan_g_loss(gen_label, gen_code, noise, valid, ones_t,
                             cfg.use_info_loss, cfg.loss_info_w,
-                            cfg.n_latent_codes)
+                            cfg.n_latent_codes, cfg.latent_code_type)
         if cfg.use_l2_loss:
             loss = loss + cfg.loss_l2_w * l2_traj_loss(
                 pred_hat_4d[..., :2], pred, valid)
         if cfg.use_variety_loss:
             ks = jax.random.split(k_var, cfg.variety_k)
             pred_k = jax.vmap(lambda kk: rollout(
-                g_params, jax.random.uniform(kk, noise.shape, obsv.dtype))
-            )(ks)
+                g_params, sample_noise(kk, n, cfg, obsv.dtype)))(ks)
             loss = loss + cfg.loss_l2_w * variety_loss(
                 pred_k[..., :2], pred, valid)
         return loss, pred_hat_4d

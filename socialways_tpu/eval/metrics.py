@@ -44,7 +44,12 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
             lambda x: x.astype(cdt)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
         obsv = obsv.astype(cdt)
-    noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
+    if cfg.latent_code_type == "categorical":
+        from socialways_tpu.engine.losses import sample_noise
+        noise_k = jax.vmap(lambda kk: sample_noise(kk, n, cfg, obsv.dtype))(
+            jax.random.split(rng, k))
+    else:   # exact reference noise stream (train.py:583-585)
+        noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas)
     if cfg.use_pallas and cfg.decoder == "fc" \

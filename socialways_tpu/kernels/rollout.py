@@ -80,41 +80,18 @@ def _kernel(h_ref, c_ref, s_ref, z_ref, p_ref,
         return (h_new, c_new, new_p), jnp.concatenate([new_p, new_v], -1)
 
     # fori_loop keeps the Mosaic program small (a 12× Python unroll took
-    # ~10 min to compile); Mosaic supports neither narrow dynamic-offset
-    # REF stores nor dynamic_update_slice, so the per-step [ti, 4] slab is
-    # scattered into the value-carried output with a one-hot mask over the
-    # step dimension (an extra n_next·4 column writes/step — negligible)
-    ti_rows = h.shape[0]
+    # ~10 min to compile).  The per-step [ti, 4] slab is stored directly at
+    # a dynamic offset on the output's MAJOR axis (out_ref: [n_next, ti, 4])
+    # — dynamic offsets are only forbidden on the tiled (sublane, lane)
+    # dims, so this is a plain strided store, unlike a dynamic COLUMN
+    # offset into a [ti, n_next·4] layout (unsupported) or the one-hot
+    # mask-scatter it replaces (which re-wrote all n_next slots per step).
+    def body(t, carry):
+        carry, step4 = step(carry)
+        out_ref[pl.ds(t, 1), :, :] = step4[None]
+        return carry
 
-    col_group = jax.lax.broadcasted_iota(jnp.int32,
-                                         (ti_rows, n_next * 4), 1) // 4
-
-    # Step-loop structure trade-off (measured on v5e, n=1024, n_next=12):
-    #   full Python unroll → 1037 µs/call but ~10 min Mosaic compile;
-    #   fori_loop (this)   → 1822 µs/call, ~3 s compile;
-    #   partial unroll 4   → slower than both (mask-scatter cost dominates).
-    # fori wins overall; raise `unroll` only for a latency-critical serving
-    # build where the one-time compile is acceptable.
-    unroll = 1
-    while n_next % unroll:
-        unroll -= 1
-
-    def body(it, carry):
-        h, c, last_p, out = carry
-        for j in range(unroll):
-            t = it * unroll + j
-            (h, c, last_p), step4 = step((h, c, last_p))
-            # 2-D only (Mosaic's remote compiler chokes on the 3-D
-            # broadcast form): tile the [ti, 4] slab across all step slots
-            # by concat, then zero every slot except t via a column mask
-            tiled = jnp.concatenate([step4] * n_next, axis=1)
-            out = out + jnp.where(col_group == t, tiled, 0.0)
-        return h, c, last_p, out
-
-    out0 = jnp.zeros((ti_rows, n_next * 4), jnp.float32)
-    _, _, _, out = jax.lax.fori_loop(0, n_next // unroll, body,
-                                     (h, c, last_p, out0))
-    out_ref[:] = out
+    jax.lax.fori_loop(0, n_next, body, (h, c, last_p))
 
 
 def _pallas_decode(params: Dict, prep, noise: jnp.ndarray, n_next: int,
@@ -154,16 +131,16 @@ def _pallas_decode(params: Dict, prep, noise: jnp.ndarray, n_next: int,
             full(*params["encoder"]["w"].shape),
             vec(params["encoder"]["b"].shape[0]),
         ],
-        out_specs=pl.BlockSpec((ti, n_next * 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((n_next, ti, 4), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tot, n_next * 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_next, n_tot, 4), jnp.float32),
         interpret=interpret,
     )(h, c, s, noise, last_p,
       dec[0]["w"], dec[0]["b"], dec[1]["w"], dec[1]["b"],
       dec[2]["w"], dec[2]["b"], dec[3]["w"], dec[3]["b"],
       params["embed"]["w"], params["embed"]["b"],
       params["encoder"]["w"], params["encoder"]["b"])
-    return out[:n].reshape(n, n_next, 4)
+    return jnp.moveaxis(out, 0, 1)[:n]      # [n_next, N, 4] → [N, n_next, 4]
 
 
 def _xla_decode(params, prep, noise, n_next):

@@ -286,3 +286,46 @@ def test_ethucy_merge_scenes(tmp_path):
     assert (b[1:, 0] == b[:-1, 1]).all()
     # normalized into the unit box
     assert ds.obsvs.min() >= -1e-6 and ds.obsvs.max() <= 1 + 1e-6
+
+
+# --------------------------------------------------- categorical codes
+def test_sample_noise_continuous_is_reference_stream():
+    from socialways_tpu.engine.losses import sample_noise
+    k = jax.random.PRNGKey(3)
+    want = jax.random.uniform(k, (5, CFG.noise_len))
+    got = sample_noise(k, 5, CFG)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sample_noise_categorical_embeds_onehot():
+    from socialways_tpu.engine.losses import sample_noise
+    cfg = CFG.replace(latent_code_type="categorical", n_latent_codes=3)
+    z = np.asarray(sample_noise(jax.random.PRNGKey(0), 64, cfg))
+    head = z[:, :3]
+    assert set(np.unique(head)) == {0.0, 1.0}
+    np.testing.assert_array_equal(head.sum(1), np.ones(64))
+    assert len(np.unique(np.argmax(head, 1))) == 3   # all codes drawn
+    assert ((z[:, 3:] >= 0) & (z[:, 3:] < 1)).all()
+
+
+def test_masked_xent_matches_manual():
+    from socialways_tpu.engine.losses import masked_xent
+    logits = jnp.asarray([[2.0, 0.0], [0.0, 3.0], [9.0, 9.0]])
+    labels = jnp.asarray([0, 1, 0])
+    valid = jnp.asarray([True, True, False])
+    p = jax.nn.log_softmax(logits)
+    want = float(-(p[0, 0] + p[1, 1]) / 2)
+    assert float(masked_xent(logits, labels, valid)) == pytest.approx(want)
+
+
+def test_categorical_gan_step_runs():
+    cfg = CFG.replace(latent_code_type="categorical", n_latent_codes=3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch()
+    new_state, m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.g_params, new_state.g_params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
