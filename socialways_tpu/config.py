@@ -84,7 +84,13 @@ class TrainConfig:
     # master params stay `dtype`); "float32" (default) is exact reference
     # parity
     compute_dtype: str = "float32"
-    use_pallas: bool = False     # Pallas kernels for hot ops (TPU only)
+    use_pallas: bool = False     # fused social-attention kernel (TPU only):
+                                 # on-device 1.2-5.7x vs XLA and the only
+                                 # form that fits HBM at 10k agents
+    # fused autoregressive-decode kernel: kept for completeness, but XLA's
+    # own decode is FASTER on-device at every size once host dispatch is
+    # excluded (see kernels/rollout.py) — leave False unless re-measured
+    pallas_decode: bool = False
     mesh_shape: Optional[int] = None  # devices on the 'data' axis (None = all)
     epoch_on_device: bool = True      # lax.scan over packed batches
 

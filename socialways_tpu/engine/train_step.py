@@ -153,7 +153,8 @@ def gan_step(
     def rollout(g_params, z):
         out = generator_rollout(cast(g_params), cast(obsv), cast(z),
                                 cfg.n_next, scene_ids, cfg.use_social,
-                                cfg.decoder, cfg.use_pallas)
+                                cfg.decoder, cfg.use_pallas,
+                                cfg.pallas_decode)
         return out.astype(dtype)
 
     # fake rollout for the D phase — same value every unroll iteration in

@@ -52,7 +52,7 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
         noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas)
-    if cfg.use_pallas and cfg.decoder == "fc" \
+    if cfg.pallas_decode and cfg.decoder == "fc" \
             and jax.default_backend() == "tpu":
         # flatten K×N into one big agent batch — decode rows are
         # independent, and larger tiles feed the fused kernel better

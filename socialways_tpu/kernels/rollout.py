@@ -11,10 +11,17 @@ state, social context, noise, and every intermediate in VMEM.  Weights
 Concatenations are algebraic: ``[h‖s‖z] @ W ≡ h@W_h + s@W_s + z@W_z`` —
 each a clean MXU matmul on pre-split weight slices, no data movement.
 
-Forward-only speed path: evaluation (K-sample min-of-K) and crowd
-simulation use it; training keeps the XLA rollout (exact gradients, and the
-backward would recompute in XLA anyway).  The ``jax.custom_vjp`` wrapper
-falls back to the XLA implementation's VJP, so it is safe under ``grad``.
+Forward-only path, OFF by default (config.pallas_decode).  Honest on-device
+numbers (v5e, 100-call device-side scan, h=64, n_next=12): XLA decode is
+FASTER at every measured size — 301 vs 328 µs at n=1024, 371 vs 524 at
+4096, 561 vs 891 at 10240.  The earlier "1.65× vs XLA" result was a
+host-dispatch artifact: per-call XLA decode launches ~8 kernels/step and
+the Pallas form 1, which matters over a remote tunnel but not inside a
+fused device program (where this always runs in practice).  The kernel is
+kept as the starting point for a fused K-sample decode (where weight reuse
+across K could win) and for kernel-development reference.  The
+``jax.custom_vjp`` wrapper falls back to the XLA implementation's VJP, so
+it is safe under ``grad``.
 """
 
 from __future__ import annotations

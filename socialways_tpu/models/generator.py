@@ -190,7 +190,13 @@ def generator_rollout(
     use_social: bool = False,
     decoder: str = "fc",
     use_pallas: bool = False,
+    pallas_decode: bool = False,
 ) -> jnp.ndarray:
-    """Full prediction rollout (prepare + decode). [N, n_next, 4]."""
+    """Full prediction rollout (prepare + decode). [N, n_next, 4].
+
+    ``use_pallas`` gates the fused social-attention kernel (an on-device
+    win); ``pallas_decode`` separately gates the fused decode kernel (XLA
+    is faster on-device — see kernels/rollout.py)."""
     prep = prepare_rollout(params, obsv_p, scene_ids, use_social, use_pallas)
-    return decode_rollout(params, prep, noise, n_next, decoder, use_pallas)
+    return decode_rollout(params, prep, noise, n_next, decoder,
+                          pallas_decode)
