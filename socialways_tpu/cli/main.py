@@ -75,6 +75,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--auto-recover", action="store_true",
                    help="on training divergence (NaN or ADE >5x best), "
                         "restore the best checkpoint and continue")
+    p.add_argument("--lr-decay-rate", type=float, default=1.0,
+                   help="staircase exponential lr decay factor for both "
+                        "optimizers (1.0 = constant, reference behavior)")
+    p.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="optimizer updates per decay stair")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off, reference "
                         "behavior; 1.0 recommended for long runs)")
@@ -125,6 +130,8 @@ def _cfg_from_args(args) -> "TrainConfig":
         use_pallas=getattr(args, "pallas", False),
         pallas_decode=getattr(args, "pallas_decode", False),
         grad_clip=getattr(args, "grad_clip", 0.0),
+        lr_decay_rate=getattr(args, "lr_decay_rate", 1.0),
+        lr_decay_steps=getattr(args, "lr_decay_steps", 0),
         compute_dtype="bfloat16" if getattr(args, "bf16", False)
         else "float32",
     )
@@ -204,6 +211,11 @@ def cmd_train(args) -> int:
         state, last_epoch, rng, _ = restore_checkpoint(model_file, state)
         start_epoch = last_epoch + 1
         print(f"resumed from {model_file} at epoch {last_epoch}")
+
+    if args.auto_recover and not checkpoint_exists(best_file):
+        # pre-training baseline: a divergence before the first eval can
+        # still be rescued (restores to init rather than crashing on)
+        save_checkpoint(best_file, state, 0, rng, ds.scale)
 
     print(f"{args.data}  # training samples: {ds.n_train_samples}  "
           f"chunks: {trainer.train_packed.n_chunks}  "

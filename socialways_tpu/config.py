@@ -34,6 +34,12 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     grad_clip: float = 0.0       # global-norm clip (0 = off, reference parity)
+    # staircase exponential lr decay applied to BOTH optimizers:
+    # lr(step) = lr0 * rate^(step // steps).  The reference ships (and
+    # never calls) a step-decay helper (utils/learning_utils.py:adjust_
+    # learning_rate, lr=0.005*0.6^(epoch//50)); this is its working form.
+    lr_decay_rate: float = 1.0   # 1.0 = constant lr (reference behavior)
+    lr_decay_steps: int = 0      # optimizer updates per decay stair
 
     # ---- architecture ----
     hidden_size: int = 64

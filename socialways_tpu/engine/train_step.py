@@ -62,6 +62,10 @@ class StepMetrics(NamedTuple):
 def make_optimizers(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
                                                optax.GradientTransformation]:
     def tx(lr):
+        if cfg.lr_decay_rate != 1.0 and cfg.lr_decay_steps > 0:
+            lr = optax.exponential_decay(
+                lr, transition_steps=cfg.lr_decay_steps,
+                decay_rate=cfg.lr_decay_rate, staircase=True)
         adam = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
         if cfg.grad_clip > 0:
             return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),

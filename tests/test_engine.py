@@ -329,3 +329,31 @@ def test_categorical_gan_step_runs():
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         state.g_params, new_state.g_params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_lr_decay_shrinks_updates():
+    from socialways_tpu.engine.train_step import make_optimizers
+    cfg = CFG.replace(lr_decay_rate=0.5, lr_decay_steps=2)
+    g_tx, _ = make_optimizers(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    opt = g_tx.init(params)
+    sizes = []
+    for _ in range(4):
+        updates, opt = g_tx.update(grads, opt, params)
+        sizes.append(float(jnp.abs(updates["w"][0])))
+    # steps 0-1 at lr, steps 2-3 at lr/2 (staircase)
+    assert sizes[0] == pytest.approx(sizes[1], rel=1e-3)
+    assert sizes[2] == pytest.approx(sizes[0] / 2, rel=1e-2)
+
+
+def test_lr_decay_off_by_default_matches_constant():
+    from socialways_tpu.engine.train_step import make_optimizers
+    g_tx, _ = make_optimizers(CFG)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    opt = g_tx.init(params)
+    u1, opt = g_tx.update(grads, opt, params)
+    u2, opt = g_tx.update(grads, opt, params)
+    assert float(jnp.abs(u1["w"][0])) == pytest.approx(
+        float(jnp.abs(u2["w"][0])), rel=1e-3)
