@@ -75,6 +75,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--auto-recover", action="store_true",
                    help="on training divergence (NaN or ADE >5x best), "
                         "restore the best checkpoint and continue")
+    p.add_argument("--noise-dist", default="uniform",
+                   choices=["uniform", "gaussian"],
+                   help="generator noise distribution (the reference uses "
+                        "U(0,1), torch.rand at train.py:473)")
     p.add_argument("--lr-decay-rate", type=float, default=1.0,
                    help="staircase exponential lr decay factor for both "
                         "optimizers (1.0 = constant, reference behavior)")
@@ -115,6 +119,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         loss_info_w=args.info_weight,
         n_latent_codes=args.n_latent_codes,
         latent_code_type=getattr(args, "latent_code", "continuous"),
+        noise_dist=getattr(args, "noise_dist", "uniform"),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

@@ -66,6 +66,10 @@ class TrainConfig:
     # trained with softmax cross-entropy; the right inductive bias when the
     # target distribution has discrete modes (the toy's 3 turn modes).
     latent_code_type: str = "continuous"
+    # the reference draws noise from U(0,1) — not the usual N(0,1)
+    # (train.py:473, torch.rand); "gaussian" is the standard alternative,
+    # exposed as a flagged divergence
+    noise_dist: str = "uniform"
     use_l2_loss: bool = False
     use_variety_loss: bool = False
     loss_l2_w: float = 0.5

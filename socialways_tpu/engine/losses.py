@@ -23,10 +23,14 @@ def sample_noise(key: jax.Array, n: int, cfg, dtype=jnp.float32
     """Draw the generator's noise vector(s), [n, noise_len].
 
     Continuous (reference parity): uniform [0,1) — the exact stream of
-    ``jax.random.uniform(key, (n, noise_len))`` (train.py:473).
+    ``jax.random.uniform(key, (n, noise_len))`` (train.py:473); N(0,1)
+    via cfg.noise_dist="gaussian".
     Categorical: a uniform categorical code one-hot-embedded into the first
-    ``n_latent_codes`` dims (the rest stays uniform)."""
-    z = jax.random.uniform(key, (n, cfg.noise_len), dtype)
+    ``n_latent_codes`` dims (the rest keeps cfg.noise_dist)."""
+    if getattr(cfg, "noise_dist", "uniform") == "gaussian":
+        z = jax.random.normal(key, (n, cfg.noise_len), dtype)
+    else:
+        z = jax.random.uniform(key, (n, cfg.noise_len), dtype)
     if cfg.latent_code_type == "categorical":
         c = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0,
                                cfg.n_latent_codes)

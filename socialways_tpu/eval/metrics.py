@@ -44,7 +44,7 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
             lambda x: x.astype(cdt)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
         obsv = obsv.astype(cdt)
-    if cfg.latent_code_type == "categorical":
+    if cfg.latent_code_type == "categorical" or cfg.noise_dist != "uniform":
         from socialways_tpu.engine.losses import sample_noise
         noise_k = jax.vmap(lambda kk: sample_noise(kk, n, cfg, obsv.dtype))(
             jax.random.split(rng, k))

@@ -357,3 +357,15 @@ def test_lr_decay_off_by_default_matches_constant():
     u2, opt = g_tx.update(grads, opt, params)
     assert float(jnp.abs(u1["w"][0])) == pytest.approx(
         float(jnp.abs(u2["w"][0])), rel=1e-3)
+
+
+def test_gaussian_noise_option():
+    from socialways_tpu.engine.losses import sample_noise
+    cfg = CFG.replace(noise_dist="gaussian")
+    z = np.asarray(sample_noise(jax.random.PRNGKey(0), 256, cfg))
+    assert (z < 0).any()                       # uniform [0,1) never is
+    assert abs(z.mean()) < 0.1 and abs(z.std() - 1.0) < 0.1
+    # categorical overlay still one-hot under gaussian tail
+    cfg2 = cfg.replace(latent_code_type="categorical", n_latent_codes=3)
+    z2 = np.asarray(sample_noise(jax.random.PRNGKey(0), 64, cfg2))
+    assert set(np.unique(z2[:, :3])) == {0.0, 1.0}
