@@ -16,9 +16,12 @@ scenes are skipped entirely: scene ids are contiguous by construction
 (data.dataset packing), so a j-tile whose id range doesn't overlap the
 i-tile's cannot contribute.
 
-The wrapper is a ``jax.custom_vjp`` whose backward pass re-runs the pure-XLA
-reference implementation (ops.social) under ``jax.vjp`` — forward speed
-where it matters (K-sample rollouts, crowd simulation) with exact gradients.
+The wrapper is a ``jax.custom_vjp`` whose backward pass differentiates the
+blockwise rematerialized form (ops.social.social_context_blockwise —
+lax.scan over neighbor blocks with jax.checkpoint) under ``jax.vjp``:
+exact gradients in O(N·block) memory, so TRAINING with social attention
+also works at crowd scale where the dense pairwise tensors would need
+~26 GB.
 
 REQUIREMENT: scene ids must be sorted non-decreasing with padding (−1) at
 the end — exactly what ``data.dataset.pack_scene_batches`` produces.  The
@@ -230,9 +233,13 @@ def _fwd(params, x4_last, h, scene_ids):
 
 
 def _bwd(res, g):
+    # blockwise rematerialized backward: O(N·block) memory, so training
+    # with social attention works at crowd scale (the dense reference's
+    # backward needs the full N²·F pairwise tensors — ~26 GB at N=10k)
     params, x4_last, h, scene_ids = res
-    _, vjp = jax.vjp(lambda p, x, hh: _xla_reference(p, x, hh, scene_ids),
-                     params, x4_last, h)
+    _, vjp = jax.vjp(
+        lambda p, x, hh: social_xla.social_context_blockwise(
+            p, x, hh, scene_ids, block=256), params, x4_last, h)
     dp, dx, dh = vjp(g)
     return dp, dx, dh, None
 

@@ -96,3 +96,81 @@ def social_pool(w_params: Params, embed_fn, x4d_last: jnp.ndarray,
     f_emb = embed_fn(feats)
     mask = scene_mask(scene_ids)
     return attention_pool(w_params, f_emb, h, mask)
+
+
+def social_context_blockwise(params, x4_last: jnp.ndarray, h: jnp.ndarray,
+                             scene_ids: jnp.ndarray,
+                             block: int = 64) -> jnp.ndarray:
+    """Memory-bounded social context: features + embed + masked softmax
+    pooling, streamed over neighbor blocks.
+
+    Same math as social_features → mlp_apply → attention_pool (exact up to
+    float reassociation of the streaming softmax), but peak memory is
+    O(N·block·F) instead of the dense form's O(N²·F) — the dense pairwise
+    tensors need ~26 GB at N=10k, this needs ~170 MB at block=64.  The
+    j-block loop is a ``lax.scan`` with the per-block body under
+    ``jax.checkpoint``, so JAX differentiates it natively in bounded
+    memory: this is the TRAINING path for crowd-scale social attention
+    (and the backward used by the fused Pallas forward kernel).
+    """
+    import jax
+
+    from socialways_tpu.ops.nn import linear_apply, mlp_apply
+
+    n, hdim = h.shape
+    n_pad = (-n) % block
+    if n_pad:
+        x4_p = jnp.concatenate(
+            [x4_last, jnp.zeros((n_pad, 4), x4_last.dtype)])
+        h_p = jnp.concatenate([h, jnp.zeros((n_pad, hdim), h.dtype)])
+        ids_p = jnp.concatenate(
+            [scene_ids, jnp.full((n_pad,), -1, scene_ids.dtype)])
+    else:
+        x4_p, h_p, ids_p = x4_last, h, scene_ids
+    n_tot = n + n_pad
+
+    p_i, v_i = x4_p[:, :2], x4_p[:, 2:]
+    vi_norm = jnp.linalg.norm(v_i, axis=-1)[:, None]
+    row_g = jnp.arange(n_tot)[:, None]
+    neg = jnp.asarray(-1e9, h_p.dtype)
+
+    @jax.checkpoint
+    def tile(carry, j0):
+        m, l, acc = carry
+        xj = jax.lax.dynamic_slice_in_dim(x4_p, j0, block)
+        hj = jax.lax.dynamic_slice_in_dim(h_p, j0, block)
+        idsj = jax.lax.dynamic_slice_in_dim(ids_p, j0, block)
+
+        dp = p_i[:, None, :] - xj[None, :, :2]      # [n, block, 2]
+        dv = v_i[:, None, :] - xj[None, :, 2:]
+        dist = jnp.linalg.norm(dp, axis=-1)
+        bearing = jnp.einsum("ijk,ik->ij", dp, v_i) / (dist * vi_norm + 1e-6)
+        ttca = -jnp.sum(dp * dv, axis=-1) / (jnp.sum(dv * dv, axis=-1)
+                                             + 1e-6)
+        dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+
+        f_emb = mlp_apply(params["feat_mlp"],
+                          jnp.stack([dist, bearing, dca], axis=-1))
+        whj = linear_apply(params["attn_w"], hj)    # [block, F]
+        scores = jnp.einsum("ijf,jf->ij", f_emb, whj)
+
+        col_g = (j0 + jnp.arange(block))[None, :]
+        mask = ((ids_p[:, None] == idsj[None, :])
+                & (ids_p[:, None] >= 0) & (idsj[None, :] >= 0)
+                & (row_g != col_g))
+        scores = jnp.where(mask, scores, neg)
+
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
+        acc_new = acc * corr + p @ hj
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((n_tot, 1), neg, h_p.dtype)
+    l0 = jnp.zeros((n_tot, 1), h_p.dtype)
+    acc0 = jnp.zeros((n_tot, hdim), h_p.dtype)
+    (m, l, acc), _ = jax.lax.scan(
+        tile, (m0, l0, acc0), jnp.arange(0, n_tot, block))
+    out = jnp.where(l > 0, acc / jnp.maximum(l, 1e-20), 0.0)
+    return out[:n]

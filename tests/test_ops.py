@@ -200,3 +200,61 @@ def test_linear_init_bounds():
     bound = 1 / np.sqrt(64)
     assert np.abs(np.asarray(p["w"])).max() <= bound
     assert np.abs(np.asarray(p["b"])).max() <= bound
+
+
+# ------------------------------------------------- blockwise social context
+def test_blockwise_social_context_matches_dense():
+    import jax
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.models import init_generator
+    from socialways_tpu.kernels.social_attention import _xla_reference
+    from socialways_tpu.ops.social import social_context_blockwise
+
+    cfg = TrainConfig(hidden_size=32, social_feature_size=32)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+    rng = np.random.RandomState(0)
+    n = 150                       # deliberately not a multiple of block
+    x4 = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    ids = np.zeros(n, np.int32)
+    ids[50:90] = 1                # scene spanning block boundary
+    ids[120:121] = 7              # singleton
+    ids[-6:] = -1                 # padding
+    ids = jnp.asarray(ids)
+
+    dense = _xla_reference(p, x4, h, ids)
+    blk = social_context_blockwise(p, x4, h, ids, block=64)
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(dense),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_blockwise_social_context_gradients_match_dense():
+    import jax
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.models import init_generator
+    from socialways_tpu.kernels.social_attention import _xla_reference
+    from socialways_tpu.ops.social import social_context_blockwise
+
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+    rng = np.random.RandomState(1)
+    n = 96
+    x4 = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+    ids = jnp.asarray((np.arange(n) // 12).astype(np.int32))
+
+    def loss_dense(p, x4, h):
+        return jnp.sum(_xla_reference(p, x4, h, ids) ** 2)
+
+    def loss_blk(p, x4, h):
+        return jnp.sum(social_context_blockwise(p, x4, h, ids, block=32)
+                       ** 2)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(p, x4, h)
+    gb = jax.grad(loss_blk, argnums=(0, 1, 2))(p, x4, h)
+    for a, b in zip(jax.tree_util.tree_leaves(gd),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
