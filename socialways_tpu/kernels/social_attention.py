@@ -247,9 +247,29 @@ def _bwd(res, g):
 social_attention_fused.defvjp(_fwd, _bwd)
 
 
+# the fused kernel keeps the full (x4, ids, h, Wh) arrays VMEM-resident:
+# ~(8 + 2·H)·4 bytes/agent ≈ 0.5 KB at H=64, so ~16k agents fill the 16 MB
+# VMEM budget with the pair tiles
+_PALLAS_MAX_AGENTS = 16384
+# above this the DENSE XLA form's N²·F pairwise tensors stop being a good
+# idea (≥1 GB at F=64) — stream blocks instead
+_DENSE_MAX_AGENTS = 4096
+
+
 def social_attention(params: Dict, x4_last, h, scene_ids,
                      use_pallas: bool = False) -> jnp.ndarray:
-    """Dispatch: Pallas kernel on TPU when requested, XLA otherwise."""
-    if use_pallas and jax.default_backend() == "tpu":
+    """Size-aware dispatch.
+
+    - Pallas fused kernel: requested + TPU + fits VMEM (≤16k agents);
+    - blockwise streamed XLA (O(N·block) memory): anything larger — the
+      single-chip path to 100k+ agents;
+    - dense XLA reference: small inputs (fewer, fatter ops win there).
+    """
+    n = h.shape[0]
+    if (use_pallas and jax.default_backend() == "tpu"
+            and n <= _PALLAS_MAX_AGENTS):
         return social_attention_fused(params, x4_last, h, scene_ids)
+    if n > _DENSE_MAX_AGENTS:
+        return social_xla.social_context_blockwise(params, x4_last, h,
+                                                   scene_ids, block=256)
     return _xla_reference(params, x4_last, h, scene_ids)

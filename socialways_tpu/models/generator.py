@@ -97,16 +97,15 @@ def encode_observation(params: Dict, obsv_4d: jnp.ndarray):
 def social_context(params: Dict, obsv_4d: jnp.ndarray, h: jnp.ndarray,
                    scene_ids: jnp.ndarray,
                    use_pallas: bool = False) -> jnp.ndarray:
-    """Attention-pooled social context from the last observed frame."""
-    if use_pallas:
-        from socialways_tpu.kernels.social_attention import social_attention
-        return social_attention(
-            {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]},
-            obsv_4d[:, -1], h, scene_ids, use_pallas=True)
-    feats = social_features(obsv_4d[:, -1])
-    f_emb = mlp_apply(params["feat_mlp"], feats)
-    return attention_pool(params["attn_w"], f_emb, h,
-                          scene_mask(scene_ids))
+    """Attention-pooled social context from the last observed frame.
+
+    Routed through the size-aware dispatch in kernels.social_attention:
+    fused Pallas kernel (requested + TPU + fits VMEM), blockwise streamed
+    form above the dense-memory cliff, dense XLA for small inputs."""
+    from socialways_tpu.kernels.social_attention import social_attention
+    return social_attention(
+        {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]},
+        obsv_4d[:, -1], h, scene_ids, use_pallas=use_pallas)
 
 
 def prepare_rollout(
