@@ -85,19 +85,25 @@ def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
         cay = dpy + ttca * dvy
         dca = jnp.sqrt(cax * cax + cay * cay)
 
-        # embed: [ti*tj, 3] → MLP → [ti*tj, feat]
+        # embed: [ti*tj, 3] → MLP → [ti*tj, feat].  Matmul operands follow
+        # the weight dtype (bf16 under mixed precision — MXU-native, and
+        # halves the VMEM residents); accumulation + activations stay f32
+        op_dt = w1_ref.dtype
         f = jnp.stack([dist, bearing, dca], axis=-1).reshape(ti * tj, 3)
         f = jnp.maximum(
-            jnp.dot(f, w1_ref[:], preferred_element_type=jnp.float32)
-            + b1_ref[:], 0.0)
+            jnp.dot(f.astype(op_dt), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b1_ref[:].astype(jnp.float32), 0.0)
         f = jnp.maximum(
-            jnp.dot(f, w2_ref[:], preferred_element_type=jnp.float32)
-            + b2_ref[:], 0.0)
-        f = (jnp.dot(f, w3_ref[:], preferred_element_type=jnp.float32)
-             + b3_ref[:])                        # [ti*tj, feat]
+            jnp.dot(f.astype(op_dt), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b2_ref[:].astype(jnp.float32), 0.0)
+        f = (jnp.dot(f.astype(op_dt), w3_ref[:],
+                     preferred_element_type=jnp.float32)
+             + b3_ref[:].astype(jnp.float32))    # [ti*tj, feat] f32
 
         # scores σ_ij = f_ij · wh_j
-        whj = wh_ref[pl.ds(j0, tj), :]           # [tj, feat]
+        whj = wh_ref[pl.ds(j0, tj), :].astype(jnp.float32)   # [tj, feat]
         whj_rep = jnp.broadcast_to(whj[None, :, :], (ti, tj, feat)
                                    ).reshape(ti * tj, feat)
         scores = jnp.sum(f * whj_rep, axis=-1).reshape(ti, tj)
@@ -114,9 +120,9 @@ def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
         corr = jnp.exp(m - m_new)
         p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
-        hj = h_ref[pl.ds(j0, tj), :]             # [tj, H]
+        hj = h_ref[pl.ds(j0, tj), :]             # [tj, H] (operand dtype)
         acc_new = acc * corr + jnp.dot(
-            p, hj, preferred_element_type=jnp.float32)
+            p.astype(hj.dtype), hj, preferred_element_type=jnp.float32)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         return m_new, l_new, acc_new
 
@@ -150,8 +156,15 @@ def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
         h_p = h
     n_tot = n + n_pad
 
-    wh = (jnp.dot(h_p, params["attn_w"]["w"]) + params["attn_w"]["b"])
-    w1, w2, w3 = params["feat_mlp"]
+    # operand dtype: bf16 inputs stay bf16 in VMEM (halves the resident
+    # h/wh arrays — doubling the kernel's agent capacity — and feeds the
+    # MXU bf16 operands); everything else runs f32
+    op_dt = jnp.bfloat16 if h.dtype == jnp.bfloat16 else jnp.float32
+    wh = (jnp.dot(h_p.astype(jnp.float32),
+                  params["attn_w"]["w"].astype(jnp.float32))
+          + params["attn_w"]["b"].astype(jnp.float32)).astype(op_dt)
+    w1, w2, w3 = [jax.tree_util.tree_map(lambda x: x.astype(op_dt), w)
+                  for w in params["feat_mlp"]]
     ids2d = scene_ids.astype(jnp.int32).reshape(n_tot, 1)
 
     # per-i-tile j-tile band: scene ids are sorted (padding −1 at the end is
@@ -206,8 +219,7 @@ def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_tot, hdim), jnp.float32),
         interpret=interpret,
     )(jstart, jend,
-      x4_last.astype(jnp.float32), ids2d, h_p.astype(jnp.float32),
-      wh.astype(jnp.float32),
+      x4_last.astype(jnp.float32), ids2d, h_p.astype(op_dt), wh,
       w1["w"], w1["b"], w2["w"], w2["b"], w3["w"], w3["b"])
     return out[:n].astype(h.dtype)
 
@@ -247,10 +259,11 @@ def _bwd(res, g):
 social_attention_fused.defvjp(_fwd, _bwd)
 
 
-# the fused kernel keeps the full (x4, ids, h, Wh) arrays VMEM-resident:
-# ~(8 + 2·H)·4 bytes/agent ≈ 0.5 KB at H=64, so ~16k agents fill the 16 MB
-# VMEM budget with the pair tiles
-_PALLAS_MAX_AGENTS = 16384
+# the fused kernel keeps the full (x4, ids, h, Wh) arrays VMEM-resident;
+# measured capacity on v5e at H=64: f32 works to 40960 agents (49152
+# OOMs VMEM), bf16 operands to 57344 (65536 OOMs)
+_PALLAS_MAX_AGENTS = 40960
+_PALLAS_MAX_AGENTS_BF16 = 57344
 # above this the DENSE XLA form's N²·F pairwise tensors stop being a good
 # idea (≥1 GB at F=64) — stream blocks instead
 _DENSE_MAX_AGENTS = 4096
@@ -266,8 +279,9 @@ def social_attention(params: Dict, x4_last, h, scene_ids,
     - dense XLA reference: small inputs (fewer, fatter ops win there).
     """
     n = h.shape[0]
-    if (use_pallas and jax.default_backend() == "tpu"
-            and n <= _PALLAS_MAX_AGENTS):
+    cap = (_PALLAS_MAX_AGENTS_BF16 if h.dtype == jnp.bfloat16
+           else _PALLAS_MAX_AGENTS)
+    if use_pallas and jax.default_backend() == "tpu" and n <= cap:
         return social_attention_fused(params, x4_last, h, scene_ids)
     if n > _DENSE_MAX_AGENTS:
         return social_xla.social_context_blockwise(params, x4_last, h,

@@ -135,3 +135,18 @@ def test_fused_decode_gradients_via_xla_bwd():
                                    rtol=1e-3, atol=1e-5)
     finally:
         ro._pallas_decode = orig
+
+
+def test_fused_attention_bf16_operands_close_to_f32():
+    """bf16 inputs keep bf16 VMEM tiles (interpret mode): close to the f32
+    reference within mixed-precision tolerance."""
+    from socialways_tpu.kernels.social_attention import _pallas_forward
+    from socialways_tpu.kernels.social_attention import _xla_reference
+
+    params, x4, h, ids = _setup(200, 10)
+    ref = np.asarray(_xla_reference(params, x4, h, ids), np.float32)
+    got = _pallas_forward(params, x4, h.astype(jnp.bfloat16), ids,
+                          interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref,
+                               atol=0.05, rtol=0.05)
