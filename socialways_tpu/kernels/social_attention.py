@@ -259,11 +259,14 @@ def _bwd(res, g):
 social_attention_fused.defvjp(_fwd, _bwd)
 
 
-# the fused kernel keeps the full (x4, ids, h, Wh) arrays VMEM-resident;
-# measured capacity on v5e at H=64: f32 works to 40960 agents (49152
-# OOMs VMEM), bf16 operands to 57344 (65536 OOMs)
-_PALLAS_MAX_AGENTS = 40960
-_PALLAS_MAX_AGENTS_BF16 = 57344
+# the fused kernel keeps the full (x4, ids, h, Wh) arrays VMEM-resident.
+# Measured on v5e at H=64: standalone the kernel compiles to 40960 agents
+# f32 / 57344 bf16, but COMPOSED inside a larger program (the sim's
+# window scan) the output buffer lands on the same scoped-VMEM stack and
+# 40960 f32 overflows (20 MB > 16 MB).  Caps below are composed-safe:
+# ~(x4 16B + ids 4B + (h + Wh + out)·itemsize·H)/agent + pair tiles.
+_PALLAS_MAX_AGENTS = 16384
+_PALLAS_MAX_AGENTS_BF16 = 32768
 # above this the DENSE XLA form's N²·F pairwise tensors stop being a good
 # idea (≥1 GB at F=64) — stream blocks instead
 _DENSE_MAX_AGENTS = 4096
