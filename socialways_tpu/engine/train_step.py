@@ -161,9 +161,19 @@ def gan_step(
                                 cfg.pallas_decode)
         return out.astype(dtype)
 
-    # fake rollout for the D phase — same value every unroll iteration in
-    # the reference (same noise, same G), so compute once and detach
-    pred_hat_4d_d = jax.lax.stop_gradient(rollout(state.g_params, noise))
+    # fake rollout — same value every unroll iteration AND in the G step
+    # (same noise, same pre-update G; the reference recomputed it 3×,
+    # train.py:479,507).  One jax.vjp gives the forward value for the D
+    # phase and the pullback for the G gradient, so the 20-step
+    # encode+decode scan runs ONCE per step instead of twice.  (The
+    # variety loss needs grads through k extra rollouts, so that path
+    # keeps the plain value_and_grad form.)
+    if cfg.use_variety_loss:
+        pred_hat_fwd, rollout_vjp = rollout(state.g_params, noise), None
+    else:
+        pred_hat_fwd, rollout_vjp = jax.vjp(
+            lambda gp: rollout(gp, noise), state.g_params)
+    pred_hat_4d_d = jax.lax.stop_gradient(pred_hat_fwd)
 
     # ---------------- D phase: n_unrolling_steps + 1 updates --------------
     # the observation branch is shared between the fake and real passes
@@ -200,8 +210,9 @@ def gan_step(
                 d_backup = d_params  # snapshot after the first update
 
     # ---------------- G phase against the unrolled D -----------------------
-    def g_loss_fn(g_params):
-        pred_hat_4d = rollout(g_params, noise)
+    def g_head_loss(pred_hat_4d, g_params):
+        """G loss as a function of the rollout output (and, for the
+        variety path only, of g_params through extra rollouts)."""
         gen_label, gen_code = discriminator_apply(cast(d_params),
                                                   cast(obsv_4d),
                                                   cast(pred_hat_4d))
@@ -219,10 +230,22 @@ def gan_step(
                 g_params, sample_noise(kk, n, cfg, obsv.dtype)))(ks)
             loss = loss + cfg.loss_l2_w * variety_loss(
                 pred_k[..., :2], pred, valid)
-        return loss, pred_hat_4d
+        return loss
 
-    (g_loss, pred_hat_4d), g_grads = jax.value_and_grad(
-        g_loss_fn, has_aux=True)(state.g_params)
+    if rollout_vjp is not None:
+        # d(loss)/d(pred_hat) through the D heads, then pull back through
+        # the saved rollout — chain rule split, bit-for-math-equal to
+        # differentiating the recomputed composite
+        g_loss, d_pred_hat = jax.value_and_grad(
+            lambda ph: g_head_loss(ph, state.g_params))(pred_hat_fwd)
+        (g_grads,) = rollout_vjp(d_pred_hat)
+        pred_hat_4d = pred_hat_fwd
+    else:
+        def g_loss_fn(g_params):
+            pred_hat_4d = rollout(g_params, noise)
+            return g_head_loss(pred_hat_4d, g_params), pred_hat_4d
+        (g_loss, pred_hat_4d), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
     g_grads = _sync_grads(g_grads)
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
