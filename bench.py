@@ -119,7 +119,9 @@ def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32"):
 
 
 def _bench_rollout_agent_steps():
-    """Secondary: K=20 stochastic rollout agent-steps/sec (eval workload)."""
+    """Secondary: K=20 stochastic rollout agent-steps/sec (eval workload).
+    The repetition loop runs device-side (lax.scan) so the number is free
+    of host-dispatch noise."""
     import jax
     import jax.numpy as jnp
     from socialways_tpu.config import TrainConfig
@@ -131,21 +133,25 @@ def _bench_rollout_agent_steps():
     from socialways_tpu.models import init_generator
     params = init_generator(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
-    n, k = 1024, 20
+    n, k, reps = 1024, 20, 20
     obsv = jnp.asarray(rng.rand(n, N_PAST, 2).astype(np.float32))
     ids = jnp.asarray((np.arange(n) % 64).astype(np.int32))
 
-    import functools
-    f = jax.jit(functools.partial(k_sample_rollout, k=k, cfg=cfg))
-    reps = 20
-    keys = [jax.random.PRNGKey(i) for i in range(reps)]
-    jax.block_until_ready(keys)
-    out = f(params, obsv, ids, keys[0])
-    float(jnp.sum(out))
+    @jax.jit
+    def run(params, obsv, keys):
+        def body(carry, kk):
+            out = k_sample_rollout(params, carry, ids, kk, k, cfg)
+            # serialize iterations without changing the workload
+            return carry * (1.0 + 0.0 * out[0, 0, 0, 0]), out[0, 0, 0, 0]
+        _, outs = jax.lax.scan(body, obsv, keys)
+        return outs
+
+    keys = jax.random.split(jax.random.PRNGKey(1), reps)
+    outs = run(params, obsv, keys)
+    float(jnp.sum(outs))                       # compile + true sync
     tic = time.perf_counter()
-    for kk in keys:
-        out = f(params, obsv, ids, kk)
-    float(jnp.sum(out))   # host transfer = true sync (see _bench_ours)
+    outs = run(params, obsv, keys)
+    float(jnp.sum(outs))
     elapsed = time.perf_counter() - tic
     return reps * k * n * N_NEXT / elapsed
 
