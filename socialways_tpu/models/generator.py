@@ -176,7 +176,9 @@ def decode_rollout(
 
     init = ((h, c, last_p0, dec_state) if decoder == "lstm"
             else (h, c, last_p0))
-    _, pred_4d = jax.lax.scan(step, init, None, length=n_next)
+    # n_next is small (12) — full unroll removes scan overhead (see
+    # ops/lstm.lstm_seq)
+    _, pred_4d = jax.lax.scan(step, init, None, length=n_next, unroll=True)
     return jnp.moveaxis(pred_4d, 0, 1)      # [n_next, N, 4] → [N, n_next, 4]
 
 

@@ -66,7 +66,10 @@ def lstm_seq(p: Params, xs: jnp.ndarray, state: LSTMState
         return new, new[0]
 
     xs_t = jnp.moveaxis(xs, -2, 0)          # [T, B, in_dim]
-    state, ys_t = jax.lax.scan(step, state, xs_t)
+    # sequences here are short (8 obs / 12 pred steps) — fully unrolling
+    # removes the scan's per-step overhead (+13% train throughput measured
+    # on v5e; compile cost is negligible at these lengths)
+    state, ys_t = jax.lax.scan(step, state, xs_t, unroll=True)
     return jnp.moveaxis(ys_t, 0, -2), state
 
 
