@@ -75,6 +75,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--auto-recover", action="store_true",
                    help="on training divergence (NaN or ADE >5x best), "
                         "restore the best checkpoint and continue")
+    p.add_argument("--r1-gamma", type=float, default=0.0,
+                   help="R1 gradient penalty weight on the real-data D "
+                        "output (0 = off, reference behavior; a GAN "
+                        "stability knob)")
     p.add_argument("--noise-dist", default="uniform",
                    choices=["uniform", "gaussian"],
                    help="generator noise distribution (the reference uses "
@@ -120,6 +124,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         n_latent_codes=args.n_latent_codes,
         latent_code_type=getattr(args, "latent_code", "continuous"),
         noise_dist=getattr(args, "noise_dist", "uniform"),
+        r1_gamma=getattr(args, "r1_gamma", 0.0),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

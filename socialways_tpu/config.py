@@ -78,6 +78,11 @@ class TrainConfig:
     # (train.py:311-316 — LSTM weights leak). "full" fixes that bug;
     # "reference" replicates it; "none" keeps the unrolled D.
     d_restore: str = "full"
+    # R1 gradient penalty on the real-data D output (Mescheder et al.
+    # 2018): + r1_gamma/2 · E‖∇_pred D(obsv, pred_real)‖².  0 = off
+    # (reference behavior).  A stability knob for the divergence cliffs
+    # the info-weight sweeps exposed (BASELINE.md).
+    r1_gamma: float = 0.0
     use_social: bool = False     # reference default (train.py:83) — paper's
                                  # attention is OFF by default; expose both.
 

@@ -191,10 +191,22 @@ def gan_step(
         labels, codes = labels.astype(dtype), codes.astype(dtype)
         fake_label, real_label = labels[:n], labels[n:]
         fake_code = codes[:n]
-        return lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
+        loss = lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
                             zeros_t, ones_t, cfg.use_info_loss,
                             cfg.loss_info_w, cfg.n_latent_codes,
                             cfg.latent_code_type)
+        if cfg.r1_gamma > 0:
+            # R1: penalize ‖∇_pred D(obsv, pred_real)‖² (second-order grads
+            # flow through this when d_loss_fn is differentiated)
+            def real_label_sum(p4):
+                lbl, _ = discriminator_heads(dp, obsv_code, cast(p4))
+                return jnp.sum(lbl.astype(dtype) * valid[:, None])
+            g_real = jax.grad(real_label_sum)(pred_4d)
+            per = jnp.sum(g_real.reshape(n, -1) ** 2, axis=-1)
+            r1 = jnp.sum(jnp.where(valid, per, 0.0)) / jnp.maximum(
+                jnp.sum(valid), 1)
+            loss = loss + 0.5 * cfg.r1_gamma * r1
+        return loss
 
     d_params, d_opt = state.d_params, state.d_opt
     d_backup = None

@@ -369,3 +369,22 @@ def test_gaussian_noise_option():
     cfg2 = cfg.replace(latent_code_type="categorical", n_latent_codes=3)
     z2 = np.asarray(sample_noise(jax.random.PRNGKey(0), 64, cfg2))
     assert set(np.unique(z2[:, :3])) == {0.0, 1.0}
+
+
+def test_r1_penalty_changes_d_updates_and_stays_finite():
+    cfg = CFG.replace(r1_gamma=10.0)
+    batch = _batch()
+    r = jax.random.PRNGKey(1)
+    s0 = init_train_state(jax.random.PRNGKey(0), CFG)
+    s_plain, m_plain = gan_step(s0, batch, r, CFG)
+    s_r1, m_r1 = gan_step(s0, batch, r, cfg)
+    assert np.isfinite(float(m_r1.d_loss))
+    assert float(m_r1.d_loss) > float(m_plain.d_loss)   # penalty added
+    # D params move differently under the penalty
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s_plain.d_params, s_r1.d_params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    # G update unaffected by construction? No — G plays against the
+    # regularized D, so it may differ; just require finiteness
+    assert np.isfinite(float(m_r1.g_loss))
