@@ -475,7 +475,8 @@ def cmd_simulate(args) -> int:
 
     cfg = _cfg_from_args(args).replace(
         use_social=True, n_past=8, n_next=12,
-        use_pallas=not args.no_pallas and jax.default_backend() == "tpu")
+        use_pallas=not args.no_pallas and jax.default_backend() == "tpu",
+        max_scene_size=args.scene_size)
 
     params = init_generator(jax.random.PRNGKey(cfg.seed), cfg)
     if args.model_file:

@@ -106,6 +106,11 @@ class TrainConfig:
     # own decode is FASTER on-device at every size once host dispatch is
     # excluded (see kernels/rollout.py) — leave False unless re-measured
     pallas_decode: bool = False
+    # static bound on rows-per-scene (scene ids sorted + contiguous).
+    # >0 unlocks the windowed O(N·max_scene) attention above the fused
+    # kernel's VMEM cap — linear in N, the path to million-agent crowds.
+    # 0 = unknown (falls back to the O(N²) blockwise stream at scale).
+    max_scene_size: int = 0
     mesh_shape: Optional[int] = None  # devices on the 'data' axis (None = all)
     epoch_on_device: bool = True      # lax.scan over packed batches
 

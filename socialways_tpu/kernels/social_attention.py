@@ -273,12 +273,16 @@ _DENSE_MAX_AGENTS = 4096
 
 
 def social_attention(params: Dict, x4_last, h, scene_ids,
-                     use_pallas: bool = False) -> jnp.ndarray:
+                     use_pallas: bool = False,
+                     max_scene: int = 0) -> jnp.ndarray:
     """Size-aware dispatch.
 
     - Pallas fused kernel: requested + TPU + fits VMEM (≤16k agents);
-    - blockwise streamed XLA (O(N·block) memory): anything larger — the
-      single-chip path to 100k+ agents;
+    - windowed XLA (O(N·max_scene) work — LINEAR in N): larger inputs
+      when the caller can bound rows-per-scene (``max_scene > 0``; ids
+      sorted + contiguous) — the path to million-agent crowds;
+    - blockwise streamed XLA (O(N²) work, O(N·block) memory): larger
+      inputs with unbounded scenes;
     - dense XLA reference: small inputs (fewer, fatter ops win there).
     """
     n = h.shape[0]
@@ -287,6 +291,9 @@ def social_attention(params: Dict, x4_last, h, scene_ids,
     if use_pallas and jax.default_backend() == "tpu" and n <= cap:
         return social_attention_fused(params, x4_last, h, scene_ids)
     if n > _DENSE_MAX_AGENTS:
+        if max_scene > 0:
+            return social_xla.social_context_windowed(
+                params, x4_last, h, scene_ids, max_scene=max_scene)
         return social_xla.social_context_blockwise(params, x4_last, h,
                                                    scene_ids, block=256)
     return _xla_reference(params, x4_last, h, scene_ids)

@@ -32,10 +32,8 @@ from socialways_tpu.ops.nn import (
     leaky_relu,
     linear_apply,
     linear_init,
-    mlp_apply,
     mlp_init,
 )
-from socialways_tpu.ops.social import attention_pool, scene_mask, social_features
 from socialways_tpu.ops.traj import obsv_to_4d
 
 
@@ -96,7 +94,8 @@ def encode_observation(params: Dict, obsv_4d: jnp.ndarray):
 
 def social_context(params: Dict, obsv_4d: jnp.ndarray, h: jnp.ndarray,
                    scene_ids: jnp.ndarray,
-                   use_pallas: bool = False) -> jnp.ndarray:
+                   use_pallas: bool = False,
+                   max_scene: int = 0) -> jnp.ndarray:
     """Attention-pooled social context from the last observed frame.
 
     Routed through the size-aware dispatch in kernels.social_attention:
@@ -105,7 +104,8 @@ def social_context(params: Dict, obsv_4d: jnp.ndarray, h: jnp.ndarray,
     from socialways_tpu.kernels.social_attention import social_attention
     return social_attention(
         {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]},
-        obsv_4d[:, -1], h, scene_ids, use_pallas=use_pallas)
+        obsv_4d[:, -1], h, scene_ids, use_pallas=use_pallas,
+        max_scene=max_scene)
 
 
 def prepare_rollout(
@@ -114,6 +114,7 @@ def prepare_rollout(
     scene_ids: Optional[jnp.ndarray] = None,
     use_social: bool = False,
     use_pallas: bool = False,
+    max_scene: int = 0,
 ):
     """Noise-independent half of the rollout: encode the observation and
     pool the social context.  K-sample evaluation computes this ONCE and
@@ -125,7 +126,8 @@ def prepare_rollout(
     if use_social:
         if scene_ids is None:
             scene_ids = jnp.zeros((n,), jnp.int32)
-        s = social_context(params, obsv_4d, h, scene_ids, use_pallas)
+        s = social_context(params, obsv_4d, h, scene_ids, use_pallas,
+                           max_scene)
     else:
         s = jnp.zeros_like(h)
     return h, c, s, obsv_p[:, -1]
@@ -192,12 +194,14 @@ def generator_rollout(
     decoder: str = "fc",
     use_pallas: bool = False,
     pallas_decode: bool = False,
+    max_scene: int = 0,
 ) -> jnp.ndarray:
     """Full prediction rollout (prepare + decode). [N, n_next, 4].
 
     ``use_pallas`` gates the fused social-attention kernel (an on-device
     win); ``pallas_decode`` separately gates the fused decode kernel (XLA
     is faster on-device — see kernels/rollout.py)."""
-    prep = prepare_rollout(params, obsv_p, scene_ids, use_social, use_pallas)
+    prep = prepare_rollout(params, obsv_p, scene_ids, use_social,
+                           use_pallas, max_scene)
     return decode_rollout(params, prep, noise, n_next, decoder,
                           pallas_decode)

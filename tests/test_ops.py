@@ -258,3 +258,59 @@ def test_blockwise_social_context_gradients_match_dense():
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_windowed_social_context_matches_dense():
+    import jax
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.models import init_generator
+    from socialways_tpu.kernels.social_attention import _xla_reference
+    from socialways_tpu.ops.social import social_context_windowed
+
+    cfg = TrainConfig(hidden_size=32, social_feature_size=32)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+    rng = np.random.RandomState(2)
+    n = 500
+    x4 = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    # contiguous scenes of varying size <= 16, incl. one at a block edge
+    sizes = [16, 7, 16, 16, 1, 16, 13] * 8
+    ids = np.concatenate([[i] * s for i, s in enumerate(sizes)])[:n]
+    ids = ids.astype(np.int32)
+    ids[-5:] = -1
+    ids = jnp.asarray(ids)
+
+    dense = _xla_reference(p, x4, h, ids)
+    win = social_context_windowed(p, x4, h, ids, max_scene=16, block=64)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(dense),
+                               rtol=2e-4, atol=2e-5)
+    # gradient path
+    g1 = jax.grad(lambda hh: jnp.sum(
+        social_context_windowed(p, x4, hh, ids, max_scene=16, block=64)
+        ** 2))(h)
+    g2 = jax.grad(lambda hh: jnp.sum(
+        _xla_reference(p, x4, hh, ids) ** 2))(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_windowed_small_input_falls_back():
+    import jax
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.models import init_generator
+    from socialways_tpu.kernels.social_attention import _xla_reference
+    from socialways_tpu.ops.social import social_context_windowed
+
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+    rng = np.random.RandomState(3)
+    n = 40
+    x4 = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+    ids = jnp.asarray((np.arange(n) // 8).astype(np.int32))
+    dense = _xla_reference(p, x4, h, ids)
+    win = social_context_windowed(p, x4, h, ids, max_scene=8, block=64)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(dense),
+                               rtol=2e-4, atol=2e-5)
