@@ -151,6 +151,15 @@ def ring_social_context(
     x4_j, h_j, ids_j = x4_last, h, scene_ids
 
     for r in range(d):                 # static mesh size — unrolled ring
+        # double-buffered: issue hop r+1's ppermute BEFORE hop r's compute
+        # so the ICI transfer rides under the O(N_local²) score work (XLA's
+        # latency-hiding scheduler overlaps collective-permute with compute
+        # it has no data dependence on).  Each hop then costs
+        # max(compute, comm) instead of compute + comm.
+        if r < d - 1:
+            nxt = (jax.lax.ppermute(x4_j, axis_name, perm),
+                   jax.lax.ppermute(h_j, axis_name, perm),
+                   jax.lax.ppermute(ids_j, axis_name, perm))
         src = (my - r) % d             # block's origin device
         col_g = (src * n_local + jnp.arange(n_local))[None, :]
         scores, mask = _block_scores(params, x4_last, h, scene_ids,
@@ -161,10 +170,8 @@ def ring_social_context(
         acc = acc * corr + p @ h_j
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         m = m_new
-        if r < d - 1:                  # rotate the block one ICI hop
-            x4_j = jax.lax.ppermute(x4_j, axis_name, perm)
-            h_j = jax.lax.ppermute(h_j, axis_name, perm)
-            ids_j = jax.lax.ppermute(ids_j, axis_name, perm)
+        if r < d - 1:
+            x4_j, h_j, ids_j = nxt
     return jnp.where(l > 0, acc / jnp.maximum(l, 1e-20), 0.0)
 
 
