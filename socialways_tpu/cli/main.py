@@ -88,6 +88,16 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "optimizers (1.0 = constant, reference behavior)")
     p.add_argument("--lr-decay-steps", type=int, default=0,
                    help="optimizer updates per decay stair")
+    p.add_argument("--d-lr-decay-rate", type=float, default=1.0,
+                   help="D-ONLY staircase lr decay factor (overrides the "
+                        "shared schedule for D; cools the discriminator "
+                        "while G keeps learning)")
+    p.add_argument("--d-lr-decay-steps", type=int, default=0,
+                   help="optimizer updates per D-only decay stair")
+    p.add_argument("--d-update-every", type=int, default=1,
+                   help="run the D phase only on every k-th GAN step "
+                        "(skipped steps leave D untouched and train G "
+                        "against the current D; 1 = reference parity)")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off, reference "
                         "behavior; 1.0 recommended for long runs)")
@@ -142,6 +152,9 @@ def _cfg_from_args(args) -> "TrainConfig":
         grad_clip=getattr(args, "grad_clip", 0.0),
         lr_decay_rate=getattr(args, "lr_decay_rate", 1.0),
         lr_decay_steps=getattr(args, "lr_decay_steps", 0),
+        d_lr_decay_rate=getattr(args, "d_lr_decay_rate", 1.0),
+        d_lr_decay_steps=getattr(args, "d_lr_decay_steps", 0),
+        d_update_every=getattr(args, "d_update_every", 1),
         compute_dtype="bfloat16" if getattr(args, "bf16", False)
         else "float32",
     )

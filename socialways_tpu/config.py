@@ -40,6 +40,18 @@ class TrainConfig:
     # learning_rate, lr=0.005*0.6^(epoch//50)); this is its working form.
     lr_decay_rate: float = 1.0   # 1.0 = constant lr (reference behavior)
     lr_decay_steps: int = 0      # optimizer updates per decay stair
+    # D-only staircase lr decay — overrides the shared schedule for the D
+    # optimizer when d_lr_decay_steps > 0.  Cooling only the discriminator
+    # is a classic two-time-scale stabilizer for the divergence cliffs the
+    # info-weight sweeps exposed (BASELINE.md); G keeps the shared schedule.
+    d_lr_decay_rate: float = 1.0
+    d_lr_decay_steps: int = 0
+    # D/G update-ratio schedule: run the D phase only on every k-th GAN
+    # step (the step counter is the number of completed G updates, read
+    # from the G optimizer's Adam count).  On skipped steps D params and
+    # optimizer state are untouched and G trains against the CURRENT D
+    # (no unroll lookahead).  1 = reference parity (D every step).
+    d_update_every: int = 1
 
     # ---- architecture ----
     hidden_size: int = 64

@@ -61,17 +61,34 @@ class StepMetrics(NamedTuple):
 
 def make_optimizers(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
                                                optax.GradientTransformation]:
-    def tx(lr):
-        if cfg.lr_decay_rate != 1.0 and cfg.lr_decay_steps > 0:
+    def tx(lr, decay_rate, decay_steps):
+        if decay_rate != 1.0 and decay_steps > 0:
             lr = optax.exponential_decay(
-                lr, transition_steps=cfg.lr_decay_steps,
-                decay_rate=cfg.lr_decay_rate, staircase=True)
+                lr, transition_steps=decay_steps,
+                decay_rate=decay_rate, staircase=True)
         adam = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
         if cfg.grad_clip > 0:
             return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                                adam)
         return adam
-    return tx(cfg.lr_g), tx(cfg.lr_d)
+    # D-only decay overrides the shared schedule for the D optimizer
+    if cfg.d_lr_decay_steps > 0:
+        d_decay = (cfg.d_lr_decay_rate, cfg.d_lr_decay_steps)
+    else:
+        d_decay = (cfg.lr_decay_rate, cfg.lr_decay_steps)
+    return (tx(cfg.lr_g, cfg.lr_decay_rate, cfg.lr_decay_steps),
+            tx(cfg.lr_d, *d_decay))
+
+
+def _g_step_count(g_opt) -> jnp.ndarray:
+    """Number of completed GAN steps, read from the G optimizer's Adam
+    ``count`` (G updates exactly once per gan_step, so the count IS the
+    global step index — no extra state field, so checkpoints stay
+    compatible)."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(g_opt)[0]:
+        if str(path[-1]) == ".count":
+            return leaf
+    raise ValueError("G optimizer state has no Adam count leaf")
 
 
 def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
@@ -220,6 +237,22 @@ def gan_step(
             d_loss_first = d_loss_u
             if cfg.n_unrolling_steps > 0:
                 d_backup = d_params  # snapshot after the first update
+
+    # D/G update-ratio schedule: on steps where step % d_update_every != 0
+    # the whole D phase is a no-op — D params/optimizer keep their old
+    # values and the G phase below trains against the CURRENT D (selected
+    # here; the restore logic then also resolves to the old D)
+    if cfg.d_update_every > 1:
+        do_d = (_g_step_count(state.g_opt) % cfg.d_update_every) == 0
+
+        def _sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_d, a, b), new, old)
+
+        d_params = _sel(d_params, state.d_params)
+        d_opt = _sel(d_opt, state.d_opt)
+        if d_backup is not None:
+            d_backup = _sel(d_backup, state.d_params)
 
     # ---------------- G phase against the unrolled D -----------------------
     def g_head_loss(pred_hat_4d, g_params):

@@ -388,3 +388,59 @@ def test_r1_penalty_changes_d_updates_and_stays_finite():
     # G update unaffected by construction? No — G plays against the
     # regularized D, so it may differ; just require finiteness
     assert np.isfinite(float(m_r1.g_loss))
+
+
+def test_d_only_lr_decay():
+    from socialways_tpu.engine.train_step import make_optimizers
+    cfg = CFG.replace(d_lr_decay_rate=0.5, d_lr_decay_steps=2)
+    g_tx, d_tx = make_optimizers(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    g_opt, d_opt = g_tx.init(params), d_tx.init(params)
+    g_sizes, d_sizes = [], []
+    for _ in range(4):
+        gu, g_opt = g_tx.update(grads, g_opt, params)
+        du, d_opt = d_tx.update(grads, d_opt, params)
+        g_sizes.append(float(jnp.abs(gu["w"][0])))
+        d_sizes.append(float(jnp.abs(du["w"][0])))
+    # G keeps a constant lr; D halves after the first stair
+    assert g_sizes[2] == pytest.approx(g_sizes[0], rel=1e-3)
+    assert d_sizes[2] == pytest.approx(d_sizes[0] / 2, rel=1e-2)
+
+
+def test_d_update_every_skips_d_phase():
+    cfg = CFG.replace(d_update_every=2)
+    batch = _batch()
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))
+
+    def d_delta(a, b):
+        return max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x, y: float(jnp.max(jnp.abs(x - y))), a.d_params,
+            b.d_params)))
+
+    def g_delta(a, b):
+        return max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x, y: float(jnp.max(jnp.abs(x - y))), a.g_params,
+            b.g_params)))
+
+    s1, _ = step(state, batch, jax.random.PRNGKey(1))   # step 0: D updates
+    s2, _ = step(s1, batch, jax.random.PRNGKey(2))      # step 1: D skipped
+    s3, _ = step(s2, batch, jax.random.PRNGKey(3))      # step 2: D updates
+    assert d_delta(s1, state) > 0
+    assert d_delta(s2, s1) == 0                          # untouched
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.all(a == b)), s2.d_opt, s1.d_opt))
+    assert d_delta(s3, s2) > 0
+    # G still updates every step
+    assert g_delta(s1, state) > 0 and g_delta(s2, s1) > 0
+
+
+def test_d_update_every_one_is_reference_parity():
+    batch = _batch()
+    r = jax.random.PRNGKey(1)
+    s0 = init_train_state(jax.random.PRNGKey(0), CFG)
+    a, _ = gan_step(s0, batch, r, CFG)
+    b, _ = gan_step(s0, batch, r, CFG.replace(d_update_every=1))
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda x, y: bool(jnp.all(x == y)), a, b))
