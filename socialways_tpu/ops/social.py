@@ -26,6 +26,19 @@ from socialways_tpu.ops.nn import Params, linear_apply
 _NEG_INF = -1e9
 
 
+def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """‖x‖ with a finite gradient at x = 0 (gradient 0 there).
+
+    Forward-value-exact: equals jnp.linalg.norm everywhere.  The plain
+    sqrt's backward is ±inf at 0, which turns the (masked!) self-pair
+    entries of the pairwise features into NaN cotangents — harmless for
+    parameter gradients (positions are data) but it poisons dL/dx for any
+    downstream use; all pairwise norms here use this form instead.
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    return jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+
+
 def social_features(x4d_last: jnp.ndarray) -> jnp.ndarray:
     """Pairwise social features from last-frame 4-D states.
 
@@ -37,18 +50,18 @@ def social_features(x4d_last: jnp.ndarray) -> jnp.ndarray:
     dp = p[:, None, :] - p[None, :, :]       # Δp[i,j] = p_i − p_j
     dv = v[:, None, :] - v[None, :, :]
 
-    dist = jnp.linalg.norm(dp, axis=-1)
+    dist = safe_norm(dp)
 
     # bearing of j relative to i's heading
     dot_dp_v = jnp.einsum("ijk,ik->ij", dp, v)
-    v_norm = jnp.linalg.norm(v, axis=-1)
+    v_norm = safe_norm(v)
     bearing = dot_dp_v / (dist * v_norm[:, None] + 1e-6)
 
     # distance of closest approach under constant velocities
     dot_dp_dv = jnp.sum(dp * dv, axis=-1)
     dv_sq = jnp.sum(dv * dv, axis=-1) + 1e-6
     ttca = -dot_dp_dv / dv_sq
-    dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+    dca = safe_norm(dp + ttca[..., None] * dv)
 
     return jnp.stack([dist, bearing, dca], axis=-1)
 
@@ -130,7 +143,7 @@ def social_context_blockwise(params, x4_last: jnp.ndarray, h: jnp.ndarray,
     n_tot = n + n_pad
 
     p_i, v_i = x4_p[:, :2], x4_p[:, 2:]
-    vi_norm = jnp.linalg.norm(v_i, axis=-1)[:, None]
+    vi_norm = safe_norm(v_i)[:, None]
     row_g = jnp.arange(n_tot)[:, None]
     neg = jnp.asarray(-1e9, h_p.dtype)
 
@@ -143,11 +156,11 @@ def social_context_blockwise(params, x4_last: jnp.ndarray, h: jnp.ndarray,
 
         dp = p_i[:, None, :] - xj[None, :, :2]      # [n, block, 2]
         dv = v_i[:, None, :] - xj[None, :, 2:]
-        dist = jnp.linalg.norm(dp, axis=-1)
+        dist = safe_norm(dp)
         bearing = jnp.einsum("ijk,ik->ij", dp, v_i) / (dist * vi_norm + 1e-6)
         ttca = -jnp.sum(dp * dv, axis=-1) / (jnp.sum(dv * dv, axis=-1)
                                              + 1e-6)
-        dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+        dca = safe_norm(dp + ttca[..., None] * dv)
 
         f_emb = mlp_apply(params["feat_mlp"],
                           jnp.stack([dist, bearing, dca], axis=-1))
@@ -230,13 +243,13 @@ def social_context_windowed(params, x4_last: jnp.ndarray, h: jnp.ndarray,
         p_i, v_i = xi[:, :2], xi[:, 2:]
         dp = p_i[:, None, :] - xj[None, :, :2]      # [block, win, 2]
         dv = v_i[:, None, :] - xj[None, :, 2:]
-        dist = jnp.linalg.norm(dp, axis=-1)
-        vi_norm = jnp.linalg.norm(v_i, axis=-1)[:, None]
+        dist = safe_norm(dp)
+        vi_norm = safe_norm(v_i)[:, None]
         bearing = jnp.einsum("ijk,ik->ij", dp, v_i) / (dist * vi_norm
                                                        + 1e-6)
         ttca = -jnp.sum(dp * dv, axis=-1) / (jnp.sum(dv * dv, axis=-1)
                                              + 1e-6)
-        dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+        dca = safe_norm(dp + ttca[..., None] * dv)
 
         f_emb = mlp_apply(params["feat_mlp"],
                           jnp.stack([dist, bearing, dca], axis=-1))

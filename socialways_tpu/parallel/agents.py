@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from socialways_tpu.ops.nn import linear_apply, mlp_apply
+from socialways_tpu.ops.social import safe_norm
 
 _NEG = -1e9
 
@@ -55,13 +56,12 @@ def sharded_social_context(
     dp = p_i[:, None, :] - p_j[None, :, :]          # [N_local, N_global, 2]
     dv = v_i[:, None, :] - v_j[None, :, :]
 
-    dist = jnp.linalg.norm(dp, axis=-1)
+    dist = safe_norm(dp)
     dot_dp_v = jnp.einsum("ijk,ik->ij", dp, v_i)
-    bearing = dot_dp_v / (dist * jnp.linalg.norm(v_i, axis=-1)[:, None]
-                          + 1e-6)
+    bearing = dot_dp_v / (dist * safe_norm(v_i)[:, None] + 1e-6)
     dot_dp_dv = jnp.sum(dp * dv, axis=-1)
     ttca = -dot_dp_dv / (jnp.sum(dv * dv, axis=-1) + 1e-6)
-    dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+    dca = safe_norm(dp + ttca[..., None] * dv)
 
     feats = jnp.stack([dist, bearing, dca], axis=-1)
     f_emb = mlp_apply(params["feat_mlp"], feats)    # [N_local, N_global, F]
@@ -100,13 +100,12 @@ def _block_scores(params, x4_last, h_q, scene_ids, x4_j, h_j, ids_j,
     dp = p_i[:, None, :] - p_j[None, :, :]
     dv = v_i[:, None, :] - v_j[None, :, :]
 
-    dist = jnp.linalg.norm(dp, axis=-1)
+    dist = safe_norm(dp)
     dot_dp_v = jnp.einsum("ijk,ik->ij", dp, v_i)
-    bearing = dot_dp_v / (dist * jnp.linalg.norm(v_i, axis=-1)[:, None]
-                          + 1e-6)
+    bearing = dot_dp_v / (dist * safe_norm(v_i)[:, None] + 1e-6)
     dot_dp_dv = jnp.sum(dp * dv, axis=-1)
     ttca = -dot_dp_dv / (jnp.sum(dv * dv, axis=-1) + 1e-6)
-    dca = jnp.linalg.norm(dp + ttca[..., None] * dv, axis=-1)
+    dca = safe_norm(dp + ttca[..., None] * dv)
 
     feats = jnp.stack([dist, bearing, dca], axis=-1)
     f_emb = mlp_apply(params["feat_mlp"], feats)      # [N_local, N_blk, F]

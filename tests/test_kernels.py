@@ -56,7 +56,8 @@ def test_fused_gradients_via_xla_bwd():
     import socialways_tpu.kernels.social_attention  # noqa: F401
     sa = sys.modules["socialways_tpu.kernels.social_attention"]
     orig = sa._pallas_forward
-    sa._pallas_forward = lambda *a, **k: orig(*a, interpret=True)
+    sa._pallas_forward = lambda *a, **k: orig(*a,
+                                              **{**k, "interpret": True})
     try:
         def loss_fused(hh):
             return jnp.sum(social_attention_fused(p, x4, hh, ids) ** 2)
@@ -150,3 +151,43 @@ def test_fused_attention_bf16_operands_close_to_f32():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), ref,
                                atol=0.05, rtol=0.05)
+
+
+def test_pallas_backward_matches_xla_grads():
+    """Fused Pallas backward (flash-style two-kernel) == XLA gradients,
+    including padding rows, a singleton scene, and a zero-velocity agent
+    (the safe-norm edge)."""
+    import sys
+    sa = sys.modules["socialways_tpu.kernels.social_attention"]
+
+    p, x4, h, ids = _setup(200, 10, key=3)
+    x4 = np.asarray(x4).copy()
+    x4[5, 2:] = 0.0                  # stationary agent
+    x4 = jnp.asarray(x4)
+    ids = np.asarray(ids).copy()
+    ids[190:] = -1                   # padding
+    ids[189] = 999                   # singleton scene
+    ids = jnp.asarray(ids)
+
+    def loss(fn, p, x4, h):
+        return jnp.sum(jnp.sin(fn(p, x4, h, ids)))
+
+    gref = jax.grad(lambda *a: loss(sa._xla_reference, *a),
+                    argnums=(0, 1, 2))(p, x4, h)
+
+    orig_fwd, orig_flag = sa._pallas_forward, sa._BWD_INTERPRET
+    sa._pallas_forward = lambda *a, **k: orig_fwd(
+        *a, **{**k, "interpret": True})
+    sa._BWD_INTERPRET = True
+    try:
+        gpal = jax.grad(lambda *a: loss(sa.social_attention_fused, *a),
+                        argnums=(0, 1, 2))(p, x4, h)
+    finally:
+        sa._pallas_forward, sa._BWD_INTERPRET = orig_fwd, orig_flag
+
+    for a, b in zip(gref, gpal):
+        jax.tree_util.tree_map(
+            lambda u, v: np.testing.assert_allclose(
+                np.asarray(v), np.asarray(u), rtol=1e-4, atol=1e-5), a, b)
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree_util.tree_leaves(b))

@@ -314,3 +314,34 @@ def test_windowed_small_input_falls_back():
     win = social_context_windowed(p, x4, h, ids, max_scene=8, block=64)
     np.testing.assert_allclose(np.asarray(win), np.asarray(dense),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_social_feature_grads_finite_despite_self_pairs():
+    """safe_norm: dL/dx through the pairwise features is finite even though
+    self-pairs have Δp = 0 (plain sqrt backward would give NaN there), and
+    forward values are unchanged."""
+    from socialways_tpu.ops.social import (safe_norm, social_features,
+                                           social_context_blockwise)
+
+    rng = np.random.RandomState(0)
+    x4 = jnp.asarray(rng.randn(12, 4).astype(np.float32))
+    feats = np.asarray(social_features(x4))
+    # forward parity with the plain-norm definition
+    dp = np.asarray(x4)[:, None, :2] - np.asarray(x4)[None, :, :2]
+    np.testing.assert_allclose(feats[..., 0], np.linalg.norm(dp, axis=-1),
+                               rtol=1e-6, atol=1e-6)
+    assert float(safe_norm(jnp.zeros(3))) == 0.0
+
+    g = jax.grad(lambda x: jnp.sum(jnp.tanh(social_features(x))))(x4)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    from socialways_tpu.models import init_generator
+    from socialways_tpu.config import TrainConfig
+    cfg = TrainConfig(hidden_size=32, social_feature_size=32, noise_len=16)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    p = {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]}
+    h = jnp.asarray(rng.randn(12, 32).astype(np.float32))
+    ids = jnp.asarray(np.zeros(12, np.int32))
+    g2 = jax.grad(lambda x: jnp.sum(
+        social_context_blockwise(p, x, h, ids, block=8)))(x4)
+    assert bool(jnp.all(jnp.isfinite(g2)))
