@@ -118,6 +118,48 @@ def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32"):
     return n_steps / elapsed
 
 
+def _bench_ours_scanned_social(n_steps: int = 50):
+    """Device-side train throughput WITH social attention on (use_social) —
+    the configuration where the reference pays its Python triple loop
+    (train.py:160-175) per step."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.engine import gan_step, init_train_state
+
+    cfg = TrainConfig(hidden_size=HIDDEN, social_feature_size=HIDDEN,
+                      noise_len=HIDDEN // 2, n_past=N_PAST, n_next=N_NEXT,
+                      batch_size=BATCH, n_unrolling_steps=1,
+                      use_info_loss=True, use_social=True)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "obsvs": jnp.asarray(rng.rand(BATCH, N_PAST, 2).astype(np.float32)),
+        "preds": jnp.asarray(rng.rand(BATCH, N_NEXT, 2).astype(np.float32)),
+        "scene_ids": jnp.asarray(
+            np.sort(np.arange(BATCH) % N_SCENES).astype(np.int32)),
+        "valid": jnp.ones((BATCH,), bool),
+    }
+    step = functools.partial(gan_step, cfg=cfg)
+
+    @jax.jit
+    def run(state, keys):
+        def body(s, k):
+            s2, m = step(s, batch, k)
+            return s2, m.g_loss
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+    state2, losses = run(state, keys)
+    float(jnp.sum(losses))
+    tic = time.perf_counter()
+    state2, losses = run(state, keys)
+    float(jnp.sum(losses))
+    return n_steps / (time.perf_counter() - tic)
+
+
 def _bench_rollout_agent_steps():
     """Secondary: K=20 stochastic rollout agent-steps/sec (eval workload).
     The repetition loop runs device-side (lax.scan) so the number is free
@@ -156,11 +198,16 @@ def _bench_rollout_agent_steps():
     return reps * k * n * N_NEXT / elapsed
 
 
-def _bench_torch_reference(n_steps: int = 8):
+def _bench_torch_reference(n_steps: int = 8, use_social: bool = False):
     """Faithful eager-PyTorch re-statement of the reference's train-step
     work (train.py:470-539: 4-D prep, (unroll+1)=2 D updates with LSGAN+info
     losses, 1 G update through a 12-step autoregressive decode), measured on
-    this host as the baseline proxy."""
+    this host as the baseline proxy.
+
+    With ``use_social``, adds the reference's social path exactly as it
+    computes it: eager full-batch pairwise feature matrices
+    (train.py:229-241) + the per-scene per-agent Python attention loops
+    (train.py:160-175), run inside every predict() call."""
     import torch
     import torch.nn as nn
 
@@ -203,10 +250,60 @@ def _bench_torch_reference(n_steps: int = 8):
                               self.pred_fc(p.reshape(p.shape[0], -1))], 1)
             return self.cls(both), self.q(both)
 
+    class Emb(nn.Module):
+        """EmbedSocialFeatures (train.py:178-189)."""
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Sequential(nn.Linear(3, 32), nn.ReLU(),
+                                    nn.Linear(32, 64), nn.ReLU(),
+                                    nn.Linear(64, h))
+
+        def forward(self, x):
+            return self.fc(x)
+
+    class Att(nn.Module):
+        """AttentionPooling — the reference's per-scene per-agent Python
+        loops (train.py:153-175), verbatim structure."""
+        def __init__(self):
+            super().__init__()
+            self.W = nn.Linear(h, h)
+
+        def forward(self, f, hh, sub_batches):
+            Wh = self.W(hh)
+            S = torch.zeros(hh.shape[0], h)
+            for (s, e) in sub_batches:
+                if e - s <= 1:
+                    continue
+                for i in range(s, e):
+                    sigma = (f[i, s:e] * Wh[s:e]).sum(-1)
+                    sigma = sigma.clone()
+                    sigma[i - s] = -1000.0
+                    a = torch.softmax(sigma, 0)
+                    S[i] = (a.unsqueeze(1) * hh[s:e]).sum(0)
+            return S
+
+    def social_feats(x4):
+        """SocialFeatures: eager full-batch pairwise matrices
+        (train.py:229-241)."""
+        p, v = x4[:, :2], x4[:, 2:]
+        dp = p[:, None, :] - p[None, :, :]
+        dv = v[:, None, :] - v[None, :, :]
+        dist = dp.norm(dim=-1)
+        bearing = (dp * v[:, None, :]).sum(-1) / (
+            dist * v.norm(dim=-1)[:, None] + 1e-6)
+        ttca = -(dp * dv).sum(-1) / ((dv * dv).sum(-1) + 1e-6)
+        dca = (dp + ttca.unsqueeze(-1) * dv).norm(dim=-1)
+        return torch.stack([dist, bearing, dca], -1)
+
     enc, dec, D = Enc(), Dec(), Disc()
+    emb, att = Emb(), Att()
+    sub_batches = [(i * (BATCH // N_SCENES), (i + 1) * (BATCH // N_SCENES))
+                   for i in range(N_SCENES)]
     import itertools
-    g_opt = torch.optim.Adam(itertools.chain(enc.parameters(),
-                                             dec.parameters()), lr=1e-4)
+    g_params = itertools.chain(
+        enc.parameters(), dec.parameters(),
+        *((emb.parameters(), att.parameters()) if use_social else ()))
+    g_opt = torch.optim.Adam(g_params, lr=1e-4)
     d_opt = torch.optim.Adam(D.parameters(), lr=1e-3)
     mse = nn.MSELoss()
 
@@ -224,10 +321,15 @@ def _bench_torch_reference(n_steps: int = 8):
     def predict(noise):
         o4, _ = to4d(obsv, pred)
         y, (hh, cc) = enc.lstm(enc.embed(o4))
+        if use_social:
+            # computed once from the last observed frame (train.py:408-413)
+            s = att(emb(social_feats(o4[:, -1])), hh[0], sub_batches)
+        else:
+            s = torch.zeros(BATCH, h)
         last = obsv[:, -1]
         outs = []
         for _ in range(N_NEXT):
-            z = torch.cat([hh[0], torch.zeros(BATCH, h), noise], 1)
+            z = torch.cat([hh[0], s, noise], 1)
             v = dec.fc(z)
             p = v + last
             s4 = torch.cat([p, v], 1)
@@ -270,22 +372,30 @@ def _bench_torch_reference(n_steps: int = 8):
     return n_steps / (time.perf_counter() - tic)
 
 
-def get_reference_baseline() -> float:
+def get_reference_baseline(use_social: bool = False) -> float:
+    key = ("torch_eager_social_steps_per_sec" if use_social
+           else "torch_eager_steps_per_sec")
+    cache = {}
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as fh:
-            return json.load(fh)["torch_eager_steps_per_sec"]
-    sps = _bench_torch_reference()
+            cache = json.load(fh)
+        if key in cache:
+            return cache[key]
+    cache[key] = _bench_torch_reference(
+        n_steps=4 if use_social else 8, use_social=use_social)
     with open(_BASELINE_CACHE, "w") as fh:
-        json.dump({"torch_eager_steps_per_sec": sps}, fh)
-    return sps
+        json.dump(cache, fh)
+    return cache[key]
 
 
 def main():
     steps_per_sec, platform = _bench_ours()
     scanned_sps = _bench_ours_scanned()
     bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
+    social_sps = _bench_ours_scanned_social()
     agent_steps = _bench_rollout_agent_steps()
     baseline = get_reference_baseline()
+    social_baseline = get_reference_baseline(use_social=True)
     best = max(steps_per_sec, scanned_sps, bf16_sps)
     cfg_tag = f"h{HIDDEN}-b{BATCH}-unroll1-info"
     if best == bf16_sps:
@@ -300,8 +410,11 @@ def main():
         "dispatch_loop_steps_per_sec": round(steps_per_sec, 2),
         "epoch_on_device_steps_per_sec": round(scanned_sps, 2),
         "bf16_epoch_on_device_steps_per_sec": round(bf16_sps, 2),
+        "social_train_steps_per_sec": round(social_sps, 2),
+        "social_vs_baseline": round(social_sps / social_baseline, 2),
         "rollout_agent_steps_per_sec": round(agent_steps, 1),
         "baseline_torch_eager_steps_per_sec": round(baseline, 3),
+        "baseline_torch_social_steps_per_sec": round(social_baseline, 3),
     }))
 
 
