@@ -104,6 +104,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default="",
                    help="write jax.profiler device traces for the first "
                         "post-compile epoch to this directory")
+    p.add_argument("--max-scene-size", type=int, default=0,
+                   help="static bound on agents-per-scene (ids sorted + "
+                        "contiguous): unlocks the windowed O(N*max_scene) "
+                        "social attention for crowd-scale TRAINING/eval "
+                        "(0 = unknown)")
     p.add_argument("--block-size", type=int, default=0,
                    help="fused-epoch block size (0 = gcd of test/save "
                         "intervals). GAN outcomes depend on the RNG "
@@ -155,6 +160,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         d_lr_decay_rate=getattr(args, "d_lr_decay_rate", 1.0),
         d_lr_decay_steps=getattr(args, "d_lr_decay_steps", 0),
         d_update_every=getattr(args, "d_update_every", 1),
+        max_scene_size=getattr(args, "max_scene_size", 0),
         compute_dtype="bfloat16" if getattr(args, "bf16", False)
         else "float32",
     )

@@ -175,7 +175,7 @@ def gan_step(
         out = generator_rollout(cast(g_params), cast(obsv), cast(z),
                                 cfg.n_next, scene_ids, cfg.use_social,
                                 cfg.decoder, cfg.use_pallas,
-                                cfg.pallas_decode)
+                                cfg.pallas_decode, cfg.max_scene_size)
         return out.astype(dtype)
 
     # fake rollout — same value every unroll iteration AND in the G step

@@ -51,7 +51,7 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
     else:   # exact reference noise stream (train.py:583-585)
         noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
-                           cfg.use_pallas)
+                           cfg.use_pallas, cfg.max_scene_size)
     if cfg.pallas_decode and cfg.decoder == "fc" \
             and jax.default_backend() == "tpu":
         # flatten K×N into one big agent batch — decode rows are

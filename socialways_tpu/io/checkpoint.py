@@ -6,8 +6,11 @@ and the normalization Scale; we checkpoint the FULL training pytree —
 generator/discriminator params, both optimizer states, epoch, PRNG key, and
 the fitted Scale — so a resumed run is bit-identical to an uninterrupted one.
 
-Backend: orbax PyTree checkpointing with an npz fallback (both store the
-same flattened pytree; npz keeps checkpoints trivially portable/inspectable).
+Backend: a single npz file of the flattened pytree (atomic rename).  At
+this state size (<1 MB) a directory-per-step checkpointer like orbax buys
+nothing; npz keeps checkpoints trivially portable and inspectable, and the
+flatten/unflatten round-trip is structure-checked against the init-built
+template on restore.
 """
 
 from __future__ import annotations

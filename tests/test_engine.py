@@ -444,3 +444,34 @@ def test_d_update_every_one_is_reference_parity():
     b, _ = gan_step(s0, batch, r, CFG.replace(d_update_every=1))
     assert jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda x, y: bool(jnp.all(x == y)), a, b))
+
+
+def test_gan_step_windowed_social_matches_dense():
+    """max_scene_size routes training social attention through the windowed
+    O(N*max_scene) form; forced here by shrinking the dense cutoff."""
+    import sys
+    import socialways_tpu.kernels.social_attention  # noqa: F401
+    sa = sys.modules["socialways_tpu.kernels.social_attention"]
+
+    cfg_dense = CFG.replace(use_social=True)
+    cfg_win = CFG.replace(use_social=True, max_scene_size=4)
+    batch = _batch()
+    # sorted contiguous ids, as the windowed form requires
+    ids = np.sort(np.asarray(batch["scene_ids"]))[::-1].copy()
+    batch["scene_ids"] = jnp.asarray(np.sort(ids))
+    batch["valid"] = jnp.asarray(np.asarray(batch["scene_ids"]) >= 0)
+    r = jax.random.PRNGKey(1)
+    s0 = init_train_state(jax.random.PRNGKey(0), cfg_dense)
+    a, ma = gan_step(s0, batch, r, cfg_dense)
+    orig = sa._DENSE_MAX_AGENTS
+    sa._DENSE_MAX_AGENTS = 2          # force the windowed branch
+    try:
+        b, mb = gan_step(s0, batch, r, cfg_win)
+    finally:
+        sa._DENSE_MAX_AGENTS = orig
+    assert float(ma.g_loss) == pytest.approx(float(mb.g_loss), rel=2e-4)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x),
+                                                np.asarray(y), rtol=2e-3,
+                                                atol=2e-6),
+        a.g_params, b.g_params)
