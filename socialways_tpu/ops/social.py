@@ -231,6 +231,10 @@ def social_context_windowed(params, x4_last: jnp.ndarray, h: jnp.ndarray,
     wh_p = linear_apply(params["attn_w"], h_p)      # [n_tot, F], once
     neg = jnp.asarray(-1e9, h_p.dtype)
 
+    # rematerialized per block: without this, the scan's vjp saves every
+    # block's [block, win, F] intermediates (~10 GB at 65k agents) and the
+    # backward stops compiling; with it, TRAINING memory is O(block·win·F)
+    @jax.checkpoint
     def one_block(i0):
         xi = jax.lax.dynamic_slice_in_dim(x4_p, i0, block)
         idsi = jax.lax.dynamic_slice_in_dim(ids_p, i0, block)
