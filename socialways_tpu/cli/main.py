@@ -104,6 +104,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default="",
                    help="write jax.profiler device traces for the first "
                         "post-compile epoch to this directory")
+    p.add_argument("--remat-steps", action="store_true",
+                   help="rematerialize LSTM/decode steps in training "
+                        "(crowd-scale memory saver, needed above ~262k "
+                        "agents/chip; slightly slower below)")
     p.add_argument("--max-scene-size", type=int, default=0,
                    help="static bound on agents-per-scene (ids sorted + "
                         "contiguous): unlocks the windowed O(N*max_scene) "
@@ -161,6 +165,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         d_lr_decay_steps=getattr(args, "d_lr_decay_steps", 0),
         d_update_every=getattr(args, "d_update_every", 1),
         max_scene_size=getattr(args, "max_scene_size", 0),
+        remat_steps=getattr(args, "remat_steps", False),
         compute_dtype="bfloat16" if getattr(args, "bf16", False)
         else "float32",
     )

@@ -118,6 +118,13 @@ class TrainConfig:
     # own decode is FASTER on-device at every size once host dispatch is
     # excluded (see kernels/rollout.py) — leave False unless re-measured
     pallas_decode: bool = False
+    # rematerialize the per-step LSTM/decoder computations during TRAINING
+    # (value-identical; backward recomputes each step once).  Cuts the
+    # rollout + encoder + D-observation residuals from ~36 KB/agent (every
+    # intermediate of the unrolled 8-step encoders and 12-step decode) to
+    # the scan carries — the lever for crowd-scale training (required
+    # above ~262k agents/chip); a few % slower below, so off by default.
+    remat_steps: bool = False
     # static bound on rows-per-scene (scene ids sorted + contiguous).
     # >0 unlocks the windowed O(N·max_scene) attention above the fused
     # kernel's VMEM cap — linear in N, the path to million-agent crowds.

@@ -175,7 +175,8 @@ def gan_step(
         out = generator_rollout(cast(g_params), cast(obsv), cast(z),
                                 cfg.n_next, scene_ids, cfg.use_social,
                                 cfg.decoder, cfg.use_pallas,
-                                cfg.pallas_decode, cfg.max_scene_size)
+                                cfg.pallas_decode, cfg.max_scene_size,
+                                cfg.remat_steps)
         return out.astype(dtype)
 
     # fake rollout — same value every unroll iteration AND in the G step
@@ -201,7 +202,7 @@ def gan_step(
 
     def d_loss_fn(d_params):
         dp = cast(d_params)
-        obsv_code = encode_obsv(dp, cast(obsv_4d))
+        obsv_code = encode_obsv(dp, cast(obsv_4d), cfg.remat_steps)
         labels, codes = discriminator_heads(
             dp, obsv_code,
             cast(jnp.concatenate([pred_hat_4d_d, pred_4d], axis=0)))
@@ -260,7 +261,8 @@ def gan_step(
         variety path only, of g_params through extra rollouts)."""
         gen_label, gen_code = discriminator_apply(cast(d_params),
                                                   cast(obsv_4d),
-                                                  cast(pred_hat_4d))
+                                                  cast(pred_hat_4d),
+                                                  cfg.remat_steps)
         gen_label = gen_label.astype(dtype)
         gen_code = gen_code.astype(dtype)
         loss = lsgan_g_loss(gen_label, gen_code, noise, valid, ones_t,

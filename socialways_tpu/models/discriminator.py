@@ -45,7 +45,8 @@ def _fc2(layers: list, x: jnp.ndarray) -> jnp.ndarray:
     return linear_apply(layers[1], leaky_relu(linear_apply(layers[0], x)))
 
 
-def encode_obsv(params: Dict, obsv_4d: jnp.ndarray) -> jnp.ndarray:
+def encode_obsv(params: Dict, obsv_4d: jnp.ndarray,
+                remat: bool = False) -> jnp.ndarray:
     """Observation branch: LSTM over the observed sequence → FC code.
     Depends only on the observation — one GAN step evaluates D on the same
     observation against fake AND real futures (×(unroll+1) updates), so
@@ -53,7 +54,7 @@ def encode_obsv(params: Dict, obsv_4d: jnp.ndarray) -> jnp.ndarray:
     n = obsv_4d.shape[0]
     hidden = params["obsv_lstm"]["w"].shape[1] // 4
     ys, _ = lstm_seq(params["obsv_lstm"], obsv_4d,
-                     zero_state(n, hidden, obsv_4d.dtype))
+                     zero_state(n, hidden, obsv_4d.dtype), remat)
     return _fc2(params["obsv_fc"], ys[:, -1])
 
 
@@ -75,11 +76,13 @@ def discriminator_heads(params: Dict, obsv_code: jnp.ndarray,
 
 
 def discriminator_apply(params: Dict, obsv_4d: jnp.ndarray,
-                        pred_4d: jnp.ndarray
+                        pred_4d: jnp.ndarray,
+                        remat: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """obsv_4d [N, n_past, 4], pred_4d [N, n_next, 4] →
     (label [N, 1], code_hat [N, n_latent_codes])."""
-    return discriminator_heads(params, encode_obsv(params, obsv_4d), pred_4d)
+    return discriminator_heads(params, encode_obsv(params, obsv_4d, remat),
+                               pred_4d)
 
 
 def restore_linear_only(backup: Dict, current: Dict) -> Dict:

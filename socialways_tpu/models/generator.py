@@ -80,15 +80,16 @@ def _decoder_lstm_fc_apply(layers: list, x: jnp.ndarray) -> jnp.ndarray:
     return linear_apply(layers[3], x)
 
 
-def encode_observation(params: Dict, obsv_4d: jnp.ndarray):
+def encode_observation(params: Dict, obsv_4d: jnp.ndarray,
+                       remat: bool = False):
     """Run the encoder LSTM over the observed 4-D sequence.
 
     obsv_4d: [N, T, 4] → (h, c) each [N, hidden]."""
     n = obsv_4d.shape[0]
     hidden = params["embed"]["w"].shape[1]
     emb = linear_apply(params["embed"], obsv_4d)
-    _, state = lstm_seq(params["encoder"], emb, zero_state(n, hidden,
-                                                           obsv_4d.dtype))
+    _, state = lstm_seq(params["encoder"], emb,
+                        zero_state(n, hidden, obsv_4d.dtype), remat)
     return state
 
 
@@ -115,6 +116,7 @@ def prepare_rollout(
     use_social: bool = False,
     use_pallas: bool = False,
     max_scene: int = 0,
+    remat: bool = False,
 ):
     """Noise-independent half of the rollout: encode the observation and
     pool the social context.  K-sample evaluation computes this ONCE and
@@ -122,7 +124,7 @@ def prepare_rollout(
     re-ran the whole encoder K times (train.py:583-585)."""
     n = obsv_p.shape[0]
     obsv_4d = obsv_to_4d(obsv_p)
-    h, c = encode_observation(params, obsv_4d)
+    h, c = encode_observation(params, obsv_4d, remat)
     if use_social:
         if scene_ids is None:
             scene_ids = jnp.zeros((n,), jnp.int32)
@@ -140,12 +142,19 @@ def decode_rollout(
     n_next: int,
     decoder: str = "fc",
     use_pallas: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Noise-dependent autoregressive decode. Returns pred_4d [N, n_next, 4].
 
     Mirrors reference ``predict`` (train.py:392-432) with the 12-step loop
     as ``lax.scan``; carry = (h, c, last position).  With ``use_pallas`` the
     FC-decoder path runs the fully-fused Pallas kernel (kernels/rollout).
+
+    ``remat`` checkpoints each decode step (and keeps the scan rolled): the
+    training residuals drop from ~24 KB/agent (every FC/LSTM intermediate
+    of 12 unrolled steps) to the per-step carries — the lever that lifts
+    the one-chip crowd-TRAINING ceiling past 262k agents.  Value-identical;
+    backward recomputes each step once.
     """
     if use_pallas and decoder == "fc" and jax.default_backend() == "tpu":
         from socialways_tpu.kernels.rollout import decode_rollout_fused
@@ -179,8 +188,11 @@ def decode_rollout(
     init = ((h, c, last_p0, dec_state) if decoder == "lstm"
             else (h, c, last_p0))
     # n_next is small (12) — full unroll removes scan overhead (see
-    # ops/lstm.lstm_seq)
-    _, pred_4d = jax.lax.scan(step, init, None, length=n_next, unroll=True)
+    # ops/lstm.lstm_seq); under remat keep the scan rolled so residuals
+    # stay O(carry)
+    step_fn = jax.checkpoint(step) if remat else step
+    _, pred_4d = jax.lax.scan(step_fn, init, None, length=n_next,
+                              unroll=not remat)
     return jnp.moveaxis(pred_4d, 0, 1)      # [n_next, N, 4] → [N, n_next, 4]
 
 
@@ -195,13 +207,15 @@ def generator_rollout(
     use_pallas: bool = False,
     pallas_decode: bool = False,
     max_scene: int = 0,
+    remat_steps: bool = False,
 ) -> jnp.ndarray:
     """Full prediction rollout (prepare + decode). [N, n_next, 4].
 
     ``use_pallas`` gates the fused social-attention kernel (an on-device
     win); ``pallas_decode`` separately gates the fused decode kernel (XLA
-    is faster on-device — see kernels/rollout.py)."""
+    is faster on-device — see kernels/rollout.py); ``remat_steps``
+    checkpoints the encoder/decode steps (crowd-scale training memory)."""
     prep = prepare_rollout(params, obsv_p, scene_ids, use_social,
-                           use_pallas, max_scene)
+                           use_pallas, max_scene, remat_steps)
     return decode_rollout(params, prep, noise, n_next, decoder,
-                          pallas_decode)
+                          pallas_decode, remat_steps)

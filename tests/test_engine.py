@@ -475,3 +475,19 @@ def test_gan_step_windowed_social_matches_dense():
                                                 np.asarray(y), rtol=2e-3,
                                                 atol=2e-6),
         a.g_params, b.g_params)
+
+
+def test_remat_steps_is_value_identical():
+    """remat_steps only changes memory scheduling — the train step result
+    must match the unrolled form exactly (same ops, same order)."""
+    batch = _batch()
+    r = jax.random.PRNGKey(1)
+    s0 = init_train_state(jax.random.PRNGKey(0), CFG)
+    a, ma = gan_step(s0, batch, r, CFG.replace(use_social=True))
+    b, mb = gan_step(s0, batch, r,
+                     CFG.replace(use_social=True, remat_steps=True))
+    assert float(ma.g_loss) == pytest.approx(float(mb.g_loss), rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7),
+        a.g_params, b.g_params)
