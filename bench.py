@@ -74,9 +74,14 @@ def _bench_ours(n_steps: int = 50):
     return n_steps / elapsed, jax.devices()[0].platform
 
 
-def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32"):
+def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32",
+                        use_social: bool = False):
     """Device-side throughput: the trainer's production epoch-on-device
-    mode (lax.scan over GAN steps) — no per-step host dispatch at all."""
+    mode (lax.scan over GAN steps) — no per-step host dispatch at all.
+
+    With ``use_social`` (sorted scene ids, as packing produces) this is the
+    configuration where the reference pays its Python triple loop
+    (train.py:160-175) per step."""
     import functools
 
     import jax
@@ -87,15 +92,17 @@ def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32"):
     cfg = TrainConfig(hidden_size=HIDDEN, social_feature_size=HIDDEN,
                       noise_len=HIDDEN // 2, n_past=N_PAST, n_next=N_NEXT,
                       batch_size=BATCH, n_unrolling_steps=1,
-                      use_info_loss=True, use_social=False,
+                      use_info_loss=True, use_social=use_social,
                       compute_dtype=compute_dtype)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
+    ids = np.arange(BATCH) % N_SCENES
+    if use_social:
+        ids = np.sort(ids)
     batch = {
         "obsvs": jnp.asarray(rng.rand(BATCH, N_PAST, 2).astype(np.float32)),
         "preds": jnp.asarray(rng.rand(BATCH, N_NEXT, 2).astype(np.float32)),
-        "scene_ids": jnp.asarray(
-            (np.arange(BATCH) % N_SCENES).astype(np.int32)),
+        "scene_ids": jnp.asarray(ids.astype(np.int32)),
         "valid": jnp.ones((BATCH,), bool),
     }
 
@@ -116,48 +123,6 @@ def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32"):
     float(jnp.sum(losses))
     elapsed = time.perf_counter() - tic
     return n_steps / elapsed
-
-
-def _bench_ours_scanned_social(n_steps: int = 50):
-    """Device-side train throughput WITH social attention on (use_social) —
-    the configuration where the reference pays its Python triple loop
-    (train.py:160-175) per step."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-    from socialways_tpu.config import TrainConfig
-    from socialways_tpu.engine import gan_step, init_train_state
-
-    cfg = TrainConfig(hidden_size=HIDDEN, social_feature_size=HIDDEN,
-                      noise_len=HIDDEN // 2, n_past=N_PAST, n_next=N_NEXT,
-                      batch_size=BATCH, n_unrolling_steps=1,
-                      use_info_loss=True, use_social=True)
-    state = init_train_state(jax.random.PRNGKey(0), cfg)
-    rng = np.random.RandomState(0)
-    batch = {
-        "obsvs": jnp.asarray(rng.rand(BATCH, N_PAST, 2).astype(np.float32)),
-        "preds": jnp.asarray(rng.rand(BATCH, N_NEXT, 2).astype(np.float32)),
-        "scene_ids": jnp.asarray(
-            np.sort(np.arange(BATCH) % N_SCENES).astype(np.int32)),
-        "valid": jnp.ones((BATCH,), bool),
-    }
-    step = functools.partial(gan_step, cfg=cfg)
-
-    @jax.jit
-    def run(state, keys):
-        def body(s, k):
-            s2, m = step(s, batch, k)
-            return s2, m.g_loss
-        return jax.lax.scan(body, state, keys)
-
-    keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
-    state2, losses = run(state, keys)
-    float(jnp.sum(losses))
-    tic = time.perf_counter()
-    state2, losses = run(state, keys)
-    float(jnp.sum(losses))
-    return n_steps / (time.perf_counter() - tic)
 
 
 def _bench_rollout_agent_steps():
@@ -392,7 +357,7 @@ def main():
     steps_per_sec, platform = _bench_ours()
     scanned_sps = _bench_ours_scanned()
     bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
-    social_sps = _bench_ours_scanned_social()
+    social_sps = _bench_ours_scanned(n_steps=50, use_social=True)
     agent_steps = _bench_rollout_agent_steps()
     baseline = get_reference_baseline()
     social_baseline = get_reference_baseline(use_social=True)

@@ -226,34 +226,38 @@ def gan_step(
             loss = loss + 0.5 * cfg.r1_gamma * r1
         return loss
 
-    d_params, d_opt = state.d_params, state.d_opt
-    d_backup = None
-    d_loss_first = jnp.zeros((), obsv.dtype)
-    for u in range(cfg.n_unrolling_steps + 1):
-        d_loss_u, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
-        d_grads = _sync_grads(d_grads)
-        updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
-        d_params = optax.apply_updates(d_params, updates)
-        if u == 0:
-            d_loss_first = d_loss_u
-            if cfg.n_unrolling_steps > 0:
-                d_backup = d_params  # snapshot after the first update
+    def d_phase(_):
+        d_params, d_opt = state.d_params, state.d_opt
+        d_backup = state.d_params
+        d_loss_first = jnp.zeros((), obsv.dtype)
+        for u in range(cfg.n_unrolling_steps + 1):
+            d_loss_u, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            d_grads = _sync_grads(d_grads)
+            updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            if u == 0:
+                d_loss_first = d_loss_u
+                if cfg.n_unrolling_steps > 0:
+                    d_backup = d_params  # snapshot after the first update
+        return d_params, d_opt, d_backup, d_loss_first
 
-    # D/G update-ratio schedule: on steps where step % d_update_every != 0
-    # the whole D phase is a no-op — D params/optimizer keep their old
-    # values and the G phase below trains against the CURRENT D (selected
-    # here; the restore logic then also resolves to the old D)
     if cfg.d_update_every > 1:
+        # D/G update-ratio schedule: on steps where step % d_update_every
+        # != 0 the whole D phase is SKIPPED (lax.cond — the grad+Adam work
+        # is not executed, not just discarded): D params/optimizer keep
+        # their old values, the G phase below trains against the CURRENT D
+        # (no unroll lookahead), and the metric reports the forward-only
+        # d_loss of the current D
         do_d = (_g_step_count(state.g_opt) % cfg.d_update_every) == 0
-
-        def _sel(new, old):
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(do_d, a, b), new, old)
-
-        d_params = _sel(d_params, state.d_params)
-        d_opt = _sel(d_opt, state.d_opt)
-        if d_backup is not None:
-            d_backup = _sel(d_backup, state.d_params)
+        d_params, d_opt, d_backup, d_loss_first = jax.lax.cond(
+            do_d, d_phase,
+            lambda _: (state.d_params, state.d_opt, state.d_params,
+                       d_loss_fn(state.d_params)),
+            operand=None)
+    else:
+        d_params, d_opt, d_backup, d_loss_first = d_phase(None)
+    if cfg.n_unrolling_steps == 0:
+        d_backup = None
 
     # ---------------- G phase against the unrolled D -----------------------
     def g_head_loss(pred_hat_4d, g_params):

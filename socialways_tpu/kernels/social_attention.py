@@ -27,7 +27,9 @@ Measured (v5e, H=64, fwd+bwd): 1.3-1.6× the windowed-XLA vjp and 8.4× the
 blockwise-remat vjp at 8k agents / 64-agent scenes; the one regime it
 loses is a single DENSE scene spanning most of the batch (the band skips
 nothing, and XLA's big batched matmuls win — ~10×; bounded, and not a
-Social-Ways workload).  Above ``_PALLAS_BWD_MAX_AGENTS`` the backward
+Social-Ways workload).  f32 training only: under bf16 the f32 score
+recompute would not renormalize against the bf16 forward's saved (m, l).
+Above ``_PALLAS_BWD_MAX_AGENTS`` (or in bf16) the backward
 falls to the blockwise rematerialized XLA form
 (ops.social.social_context_blockwise under ``jax.vjp``): exact gradients
 in O(N·block) memory, so TRAINING with social attention also works at
@@ -55,6 +57,13 @@ from socialways_tpu.ops.nn import mlp_apply
 _NEG = -1e9
 
 
+def _snorm(sq):
+    """sqrt with a finite gradient at 0 — value-exact (sqrt(0) = 0), but
+    backward 0 instead of NaN at the masked self-pairs where the squared
+    quantity is exactly 0.  Mirrors ops.social.safe_norm."""
+    return jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+
+
 def _pair_embed(xi, xj, w1, b1, w2, b2, w3, b3):
     """Embedded pairwise features f_ij [ti*tj, F] (f32) from raw tiles.
 
@@ -71,19 +80,12 @@ def _pair_embed(xi, xj, w1, b1, w2, b2, w3, b3):
     ti, tj = xi.shape[0], xj.shape[0]
     pix, piy = xi[:, 0:1], xi[:, 1:2]
     vix, viy = xi[:, 2:3], xi[:, 3:4]
-    vsq = vix * vix + viy * viy
-    vi_norm = jnp.where(vsq > 0, jnp.sqrt(jnp.where(vsq > 0, vsq, 1.0)),
-                        0.0)                         # [ti, 1]
+    vi_norm = _snorm(vix * vix + viy * viy)          # [ti, 1]
 
     dpx = pix - xj[:, 0][None, :]
     dpy = piy - xj[:, 1][None, :]
     dvx = vix - xj[:, 2][None, :]
     dvy = viy - xj[:, 3][None, :]
-
-    # safe sqrt: value-exact, but gradient 0 (not NaN) at the masked
-    # self-pairs where Δp = 0 — matches ops.social.safe_norm
-    def _snorm(sq):
-        return jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
 
     dist = _snorm(dpx * dpx + dpy * dpy)
     bearing = (dpx * vix + dpy * viy) / (dist * vi_norm + 1e-6)
@@ -115,6 +117,17 @@ def _pair_scores(xi, xj, whj, w1, b1, w2, b2, w3, b3):
     return jnp.sum(f * whj_rep, axis=-1).reshape(ti, tj)
 
 
+def _mask_tile(ids_i, ids_j, i0, j0, ti, tj):
+    """Scene-membership mask for one [ti, tj] pair tile (same id, both
+    valid, not self — replaces the reference's −1000 trick and N==1 skip,
+    train.py:165,170)."""
+    same = ids_i == ids_j[:, 0][None, :]
+    valid = jnp.logical_and(ids_i >= 0, ids_j[:, 0][None, :] >= 0)
+    row_g = i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    col_g = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    return jnp.logical_and(jnp.logical_and(same, valid), row_g != col_g)
+
+
 def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
             out_ref, stats_ref, *, ti: int, tj: int, n: int, feat: int):
@@ -130,8 +143,6 @@ def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
     xi = x4_ref[pl.ds(i0, ti), :]                    # [ti, 4]
     ids_i = ids_ref[pl.ds(i0, ti), :]                # [ti, 1] int32
 
-    row_g = i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
-
     def j_body(jt, carry):
         m, l, acc = carry
         j0 = jt * tj
@@ -141,13 +152,7 @@ def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
 
         scores = _pair_scores(xi, xj, whj, w1_ref[:], b1_ref[:],
                               w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:])
-
-        # scene mask: same id, both valid, not self
-        same = ids_i == ids_j[:, 0][None, :]
-        valid = jnp.logical_and(ids_i >= 0, ids_j[:, 0][None, :] >= 0)
-        col_g = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-        not_self = row_g != col_g
-        mask = jnp.logical_and(jnp.logical_and(same, valid), not_self)
+        mask = _mask_tile(ids_i, ids_j, i0, j0, ti, tj)
         scores = jnp.where(mask, scores, _NEG)
 
         # streaming softmax update
@@ -276,17 +281,6 @@ def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
         # Pallas backward kernels
         return out, stats
     return out[:n].astype(h.dtype)
-
-
-def _mask_tile(ids_i, ids_j, i0, j0, ti, tj):
-    """Scene-membership mask for one [ti, tj] pair tile (same id, both
-    valid, not self — replaces the reference's −1000 trick and N==1 skip,
-    train.py:165,170)."""
-    same = ids_i == ids_j[:, 0][None, :]
-    valid = jnp.logical_and(ids_i >= 0, ids_j[:, 0][None, :] >= 0)
-    row_g = i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
-    col_g = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-    return jnp.logical_and(jnp.logical_and(same, valid), row_g != col_g)
 
 
 def _bwd_dq_kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
@@ -567,19 +561,33 @@ _PALLAS_BWD_MAX_AGENTS = 8192
 _BWD_INTERPRET = False    # tests set True to run the Pallas backward on CPU
 
 
+def _use_pallas_bwd(h) -> bool:
+    """Static (trace-time) choice of the backward implementation.
+
+    f32 only: the backward recomputes scores in f32, so under bf16 the
+    rebuilt attention weights would not renormalize against the bf16
+    forward's saved (m, l) stats — bf16 training takes the blockwise-remat
+    backward, whose gradients are those of a self-consistent forward."""
+    return (h.shape[0] <= _PALLAS_BWD_MAX_AGENTS
+            and h.dtype != jnp.bfloat16
+            and (jax.default_backend() == "tpu" or _BWD_INTERPRET))
+
+
 def _fwd(params, x4_last, h, scene_ids):
-    out_pad, stats = _pallas_forward(params, x4_last, h, scene_ids,
-                                     with_stats=True)
-    out = out_pad[:h.shape[0]].astype(h.dtype)
-    return out, (params, x4_last, h, scene_ids, out_pad, stats)
+    if _use_pallas_bwd(h):
+        out_pad, stats = _pallas_forward(params, x4_last, h, scene_ids,
+                                         with_stats=True)
+        out = out_pad[:h.shape[0]].astype(h.dtype)
+        return out, (params, x4_last, h, scene_ids, out_pad, stats)
+    # light residuals — the blockwise backward never reads out/stats, so
+    # don't hold ~n·(H+2) f32 alive across the forward-to-backward span
+    out = _pallas_forward(params, x4_last, h, scene_ids)
+    return out, (params, x4_last, h, scene_ids, None, None)
 
 
 def _bwd(res, g):
     params, x4_last, h, scene_ids, out_pad, stats = res
-    n = h.shape[0]
-    use_pallas = (n <= _PALLAS_BWD_MAX_AGENTS
-                  and (jax.default_backend() == "tpu" or _BWD_INTERPRET))
-    if use_pallas:
+    if out_pad is not None:
         # fused flash-style backward: recomputes pair scores per tile from
         # the saved softmax stats; exact gradients, O(tile) memory
         dp, dx, dh = _pallas_backward(params, x4_last, h, scene_ids,

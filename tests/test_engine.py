@@ -448,18 +448,27 @@ def test_d_update_every_one_is_reference_parity():
 
 def test_gan_step_windowed_social_matches_dense():
     """max_scene_size routes training social attention through the windowed
-    O(N*max_scene) form; forced here by shrinking the dense cutoff."""
+    O(N*max_scene) form; forced here by shrinking the dense cutoff.  n is
+    large enough that win = block + 2*max_scene < n_tot, so the REAL
+    windowed slicing (and its rematerialized vjp) runs — at small n the
+    windowed form silently falls back to blockwise and the test would
+    prove nothing."""
     import sys
     import socialways_tpu.kernels.social_attention  # noqa: F401
     sa = sys.modules["socialways_tpu.kernels.social_attention"]
+    from socialways_tpu.ops.social import social_context_windowed  # noqa
 
     cfg_dense = CFG.replace(use_social=True)
-    cfg_win = CFG.replace(use_social=True, max_scene_size=4)
-    batch = _batch()
-    # sorted contiguous ids, as the windowed form requires
-    ids = np.sort(np.asarray(batch["scene_ids"]))[::-1].copy()
-    batch["scene_ids"] = jnp.asarray(np.sort(ids))
-    batch["valid"] = jnp.asarray(np.asarray(batch["scene_ids"]) >= 0)
+    cfg_win = CFG.replace(use_social=True, max_scene_size=8)
+    n = 640                            # n_tot=1024 > win=512+16=528
+    rng = np.random.RandomState(5)
+    batch = {
+        "obsvs": jnp.asarray(rng.rand(n, CFG.n_past, 2).astype(np.float32)),
+        "preds": jnp.asarray(rng.rand(n, CFG.n_next, 2).astype(np.float32)),
+        "scene_ids": jnp.asarray(np.sort(np.arange(n) % (n // 8))
+                                 .astype(np.int32)),
+        "valid": jnp.ones((n,), bool),
+    }
     r = jax.random.PRNGKey(1)
     s0 = init_train_state(jax.random.PRNGKey(0), cfg_dense)
     a, ma = gan_step(s0, batch, r, cfg_dense)
