@@ -191,3 +191,38 @@ def test_pallas_backward_matches_xla_grads():
                 np.asarray(v), np.asarray(u), rtol=1e-4, atol=1e-5), a, b)
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree_util.tree_leaves(b))
+
+
+def test_fused_bf16_backward_takes_blockwise_path():
+    """Under bf16 the custom_vjp must NOT use the Pallas backward (its f32
+    score recompute wouldn't renormalize against bf16 forward stats) —
+    it falls back to the blockwise-remat vjp, with finite grads."""
+    import sys
+    sa = sys.modules["socialways_tpu.kernels.social_attention"]
+
+    p, x4, h, ids = _setup(96, 8, key=4)
+    # bf16 training casts ALL floating inputs (gan_step's cast), so the
+    # blockwise fallback sees uniformly bf16 operands
+    p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    h16 = h.astype(jnp.bfloat16)
+    x4 = x4.astype(jnp.bfloat16)
+    assert not sa._use_pallas_bwd(h16)
+
+    orig_fwd, orig_flag = sa._pallas_forward, sa._BWD_INTERPRET
+    sa._pallas_forward = lambda *a, **k: orig_fwd(
+        *a, **{**k, "interpret": True})
+    sa._BWD_INTERPRET = True          # would enable Pallas bwd — but bf16
+    called = []
+    orig_bwd = sa._pallas_backward
+    sa._pallas_backward = lambda *a, **k: called.append(1) or orig_bwd(
+        *a, **k)
+    try:
+        g = jax.grad(lambda hh: jnp.sum(
+            sa.social_attention_fused(p16, x4, hh, ids)
+            .astype(jnp.float32)))(h16)
+    finally:
+        sa._pallas_forward = orig_fwd
+        sa._BWD_INTERPRET = orig_flag
+        sa._pallas_backward = orig_bwd
+    assert not called                  # blockwise path, not the kernels
+    assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
