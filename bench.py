@@ -118,11 +118,13 @@ def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32",
     keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
     state2, losses = run(state, keys)
     float(jnp.sum(losses))                 # compile + true sync
-    tic = time.perf_counter()
-    state2, losses = run(state, keys)
-    float(jnp.sum(losses))
-    elapsed = time.perf_counter() - tic
-    return n_steps / elapsed
+    best = float("inf")
+    for _ in range(3):                     # best-of-3: the remote tunnel
+        tic = time.perf_counter()          # adds run-to-run jitter
+        state2, losses = run(state, keys)
+        float(jnp.sum(losses))
+        best = min(best, time.perf_counter() - tic)
+    return n_steps / best
 
 
 def _bench_rollout_agent_steps():
