@@ -322,6 +322,13 @@ def cmd_train(args) -> int:
                     print(f"new best coverage saved to {bestcov_file}")
             if cfg.dump_dir:
                 _dump_first_chunk(trainer, state, ds, cfg, epoch, rng)
+
+    # always leave a final checkpoint, even when n_epochs is not a multiple
+    # of save_interval (the reference would end a short run with nothing
+    # on disk, train.py:651-663) — evaluate/resume then always work
+    if epoch % cfg.save_interval != 0:
+        save_checkpoint(model_file, state, epoch, rng, ds.scale)
+        print(f"saved final checkpoint to {model_file}")
     return 0
 
 

@@ -132,3 +132,18 @@ def test_viz_render(tmp_path, toy_npz):
     assert im.shape == (480, 480, 3)
     # something was drawn (not a uniform canvas)
     assert im.std() > 1.0
+
+
+def test_cli_train_short_run_saves_final_checkpoint(tmp_path, toy_npz):
+    """A run shorter than save-interval must still leave a checkpoint
+    (the reference would end with nothing on disk, train.py:651-663) so
+    the documented evaluate step always works."""
+    model_dir = str(tmp_path / "m2")
+    assert cli_main(["train", "--data", toy_npz, "--epochs", "2",
+                     "--h-size", "16", "--model-dir", model_dir,
+                     "--save-interval", "50", "--test-interval", "50",
+                     "--dataset", "toy"]) == 0
+    ckpt = os.path.join(model_dir, "socialWays-toy.npz")
+    assert os.path.isfile(ckpt)
+    assert cli_main(["evaluate", "--data", toy_npz, "--model-file", ckpt,
+                     "--h-size", "16", "--k", "2"]) == 0
