@@ -74,10 +74,15 @@ def _bench_ours(n_steps: int = 50):
     return n_steps / elapsed, jax.devices()[0].platform
 
 
-def _bench_ours_scanned(n_steps: int = 200, compute_dtype: str = "float32",
+def _bench_ours_scanned(n_steps: int = 2000, compute_dtype: str = "float32",
                         use_social: bool = False):
     """Device-side throughput: the trainer's production epoch-on-device
     mode (lax.scan over GAN steps) — no per-step host dispatch at all.
+    The scan must be LONG (production fused-epochs blocks run thousands of
+    steps): a short scan amortizes the tunnel's fixed ~30 ms result-fetch
+    latency over too few steps and under-reports by ~2× (200-step scan:
+    3.1k steps/s; 4000-step: 5.8k — matching the 165 µs/step the device
+    trace shows).
 
     With ``use_social`` (sorted scene ids, as packing produces) this is the
     configuration where the reference pays its Python triple loop
@@ -359,7 +364,7 @@ def main():
     steps_per_sec, platform = _bench_ours()
     scanned_sps = _bench_ours_scanned()
     bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
-    social_sps = _bench_ours_scanned(n_steps=50, use_social=True)
+    social_sps = _bench_ours_scanned(n_steps=500, use_social=True)
     agent_steps = _bench_rollout_agent_steps()
     baseline = get_reference_baseline()
     social_baseline = get_reference_baseline(use_social=True)
