@@ -364,7 +364,7 @@ def main():
     steps_per_sec, platform = _bench_ours()
     scanned_sps = _bench_ours_scanned()
     bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
-    social_sps = _bench_ours_scanned(n_steps=500, use_social=True)
+    social_sps = _bench_ours_scanned(n_steps=2000, use_social=True)
     agent_steps = _bench_rollout_agent_steps()
     baseline = get_reference_baseline()
     social_baseline = get_reference_baseline(use_social=True)

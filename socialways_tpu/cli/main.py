@@ -126,6 +126,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
 
 def _cfg_from_args(args) -> "TrainConfig":
     from socialways_tpu.config import TrainConfig
+    if (getattr(args, "d_lr_decay_rate", 1.0) != 1.0
+            and getattr(args, "d_lr_decay_steps", 0) == 0):
+        print("WARNING: --d-lr-decay-rate is ignored without "
+              "--d-lr-decay-steps > 0 (the D optimizer falls back to the "
+              "shared --lr-decay-* schedule)", file=sys.stderr)
     return TrainConfig(
         dataset=args.dataset,
         batch_size=args.batch_size,

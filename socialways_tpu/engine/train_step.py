@@ -85,10 +85,13 @@ def _g_step_count(g_opt) -> jnp.ndarray:
     ``count`` (G updates exactly once per gan_step, so the count IS the
     global step index — no extra state field, so checkpoints stay
     compatible)."""
-    for path, leaf in jax.tree_util.tree_flatten_with_path(g_opt)[0]:
-        if str(path[-1]) == ".count":
-            return leaf
-    raise ValueError("G optimizer state has no Adam count leaf")
+    adam_states = [
+        s for s in jax.tree_util.tree_leaves(
+            g_opt, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    if not adam_states:
+        raise ValueError("G optimizer state has no ScaleByAdamState")
+    return adam_states[0].count
 
 
 def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:

@@ -546,11 +546,16 @@ def _xla_reference(params: Dict, x4_last, h, scene_ids):
                                      social_xla.scene_mask(scene_ids))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def social_attention_fused(params: Dict, x4_last: jnp.ndarray,
-                           h: jnp.ndarray, scene_ids: jnp.ndarray
-                           ) -> jnp.ndarray:
-    """Fused features→embed→pool. Same math as ops.social (±1e-5)."""
+                           h: jnp.ndarray, scene_ids: jnp.ndarray,
+                           max_scene: int = 0) -> jnp.ndarray:
+    """Fused features→embed→pool. Same math as ops.social (±1e-5).
+
+    ``max_scene`` (static) only shapes the FALLBACK backward: when the
+    Pallas backward is unavailable (n > 8k agents, or bf16) and the caller
+    can bound rows-per-scene, the vjp uses the linear windowed form
+    instead of the O(N²) blockwise one (measured 3-8× faster)."""
     return _pallas_forward(params, x4_last, h, scene_ids)
 
 
@@ -573,7 +578,7 @@ def _use_pallas_bwd(h) -> bool:
             and (jax.default_backend() == "tpu" or _BWD_INTERPRET))
 
 
-def _fwd(params, x4_last, h, scene_ids):
+def _fwd(params, x4_last, h, scene_ids, max_scene=0):
     if _use_pallas_bwd(h):
         out_pad, stats = _pallas_forward(params, x4_last, h, scene_ids,
                                          with_stats=True)
@@ -585,7 +590,7 @@ def _fwd(params, x4_last, h, scene_ids):
     return out, (params, x4_last, h, scene_ids, None, None)
 
 
-def _bwd(res, g):
+def _bwd(max_scene, res, g):
     params, x4_last, h, scene_ids, out_pad, stats = res
     if out_pad is not None:
         # fused flash-style backward: recomputes pair scores per tile from
@@ -594,12 +599,19 @@ def _bwd(res, g):
                                       g, out_pad, stats,
                                       interpret=_BWD_INTERPRET)
         return dp, dx, dh, None
-    # blockwise rematerialized backward: O(N·block) memory, so training
-    # with social attention works at crowd scale (the dense reference's
+    # rematerialized XLA backward; windowed O(N·max_scene) when the caller
+    # bounds rows-per-scene (3-8× faster than blockwise, BASELINE.md),
+    # else blockwise O(N²) with O(N·block) memory (the dense reference's
     # backward needs the full N²·F pairwise tensors — ~26 GB at N=10k)
-    _, vjp = jax.vjp(
-        lambda p, x, hh: social_xla.social_context_blockwise(
-            p, x, hh, scene_ids, block=256), params, x4_last, h)
+    if max_scene > 0:
+        def f(p, x, hh):
+            return social_xla.social_context_windowed(
+                p, x, hh, scene_ids, max_scene=max_scene)
+    else:
+        def f(p, x, hh):
+            return social_xla.social_context_blockwise(
+                p, x, hh, scene_ids, block=256)
+    _, vjp = jax.vjp(f, params, x4_last, h)
     dp, dx, dh = vjp(g)
     return dp, dx, dh, None
 
@@ -637,7 +649,8 @@ def social_attention(params: Dict, x4_last, h, scene_ids,
     cap = (_PALLAS_MAX_AGENTS_BF16 if h.dtype == jnp.bfloat16
            else _PALLAS_MAX_AGENTS)
     if use_pallas and jax.default_backend() == "tpu" and n <= cap:
-        return social_attention_fused(params, x4_last, h, scene_ids)
+        return social_attention_fused(params, x4_last, h, scene_ids,
+                                      max_scene)
     if n > _DENSE_MAX_AGENTS:
         if max_scene > 0:
             return social_xla.social_context_windowed(

@@ -226,3 +226,40 @@ def test_fused_bf16_backward_takes_blockwise_path():
         sa._pallas_backward = orig_bwd
     assert not called                  # blockwise path, not the kernels
     assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+def test_fused_fallback_backward_uses_windowed_when_bounded():
+    """When the Pallas backward is unavailable (bf16) and the caller bounds
+    rows-per-scene, the fallback vjp must take the linear windowed form
+    (ADVICE r1) — and its grads must match the blockwise fallback."""
+    import sys
+    sa = sys.modules["socialways_tpu.kernels.social_attention"]
+    from socialways_tpu.ops import social as social_xla
+
+    p, x4, h, ids = _setup(96, 8, key=5)
+    p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    h16 = h.astype(jnp.bfloat16)
+    x4 = x4.astype(jnp.bfloat16)
+    assert not sa._use_pallas_bwd(h16)
+
+    orig_fwd = sa._pallas_forward
+    sa._pallas_forward = lambda *a, **k: orig_fwd(
+        *a, **{**k, "interpret": True})
+    called = []
+    orig_win = social_xla.social_context_windowed
+    social_xla.social_context_windowed = (
+        lambda *a, **k: called.append(1) or orig_win(*a, **k))
+    try:
+        def loss(hh, max_scene):
+            return jnp.sum(sa.social_attention_fused(
+                p16, x4, hh, ids, max_scene).astype(jnp.float32))
+
+        g_win = jax.grad(lambda hh: loss(hh, 8))(h16)
+        assert called                       # windowed fallback exercised
+        g_blk = jax.grad(lambda hh: loss(hh, 0))(h16)
+    finally:
+        sa._pallas_forward = orig_fwd
+        social_xla.social_context_windowed = orig_win
+    np.testing.assert_allclose(np.asarray(g_win.astype(jnp.float32)),
+                               np.asarray(g_blk.astype(jnp.float32)),
+                               rtol=2e-2, atol=2e-3)
