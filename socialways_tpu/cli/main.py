@@ -122,6 +122,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="run gcd(test,save)-interval epoch blocks as one "
                         "device program (fastest; per-epoch prints become "
                         "per-block)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel over the first N devices: chunk "
+                        "groups are sharded over a 1-D mesh and every "
+                        "step pmeans gradients over ICI; composes with "
+                        "--fused-epochs (N groups become one DP step, so "
+                        "an epoch has ceil(chunks/N) steps; 0 = off)")
 
 
 def _cfg_from_args(args) -> "TrainConfig":
@@ -231,7 +237,15 @@ def cmd_train(args) -> int:
 
     cfg = _cfg_from_args(args)
     ds = load_npz_dataset(args.data)
-    trainer = Trainer(cfg, ds)
+    mesh = None
+    if getattr(args, "mesh", 0):
+        from socialways_tpu.parallel import make_mesh
+        if len(jax.devices()) < args.mesh:
+            print(f"ERROR: --mesh {args.mesh} needs {args.mesh} devices, "
+                  f"have {len(jax.devices())}", file=sys.stderr)
+            return 1
+        mesh = make_mesh(args.mesh)
+    trainer = Trainer(cfg, ds, mesh=mesh)
     cfg = trainer.cfg  # n_past/n_next filled from data
 
     model_file = os.path.join(cfg.model_dir,

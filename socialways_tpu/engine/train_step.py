@@ -117,17 +117,22 @@ def gan_step(
     rng: jax.Array,
     cfg: TrainConfig,
     axis_name: str | None = None,
+    axis_size: int = 1,
 ) -> Tuple[TrainState, StepMetrics]:
     """One GAN update on a padded scene chunk.
 
     batch: obsvs [N, n_past, 2], preds [N, n_next, 2], scene_ids [N],
     valid [N] bool.
 
-    Under ``shard_map`` pass ``axis_name``: gradients are ``pmean``-ed over
-    the mesh axis (data-parallel — each device holds whole scenes, so the
-    NxN social attention never crosses a device boundary) and metric sums
-    are ``psum``-ed; noise is decorrelated per shard while the per-batch
-    label-smoothing scalars stay identical everywhere.
+    Under ``shard_map`` pass ``axis_name`` and the mesh ``axis_size``:
+    gradients are ``pmean``-ed over the mesh axis (data-parallel — each
+    device holds whole scenes, so the NxN social attention never crosses a
+    device boundary) and metric sums are ``psum``-ed.  Noise is drawn for
+    the GLOBAL batch and each shard slices its own rows, so an n-way DP
+    step consumes exactly the noise stream of the single-device big-batch
+    step — metrics and updates match the single-device run up to float
+    reassociation (tests/test_parallel.py).  The per-batch label-smoothing
+    scalars are identical everywhere by construction.
     """
     g_tx, d_tx = make_optimizers(cfg)
     dtype = jnp.dtype(cfg.dtype)
@@ -147,9 +152,17 @@ def gan_step(
 
     k_noise, k_zero, k_one, k_var = jax.random.split(rng, 4)
     if axis_name is not None:
-        idx = jax.lax.axis_index(axis_name)
-        k_noise = jax.random.fold_in(k_noise, idx)
-        k_var = jax.random.fold_in(k_var, idx)
+        # each shard draws the whole global batch's noise and keeps its own
+        # rows — the trivially small [N_global, noise_len] draw buys exact
+        # stream parity with the single-device big-batch step
+        row0 = jax.lax.axis_index(axis_name) * n
+
+        def draw_noise(key):
+            z = sample_noise(key, n * axis_size, cfg, obsv.dtype)
+            return jax.lax.dynamic_slice_in_dim(z, row0, n)
+    else:
+        def draw_noise(key):
+            return sample_noise(key, n, cfg, obsv.dtype)
 
     def _sync_grads(grads):
         """pmean with per-shard valid-count weighting: exactly equals the
@@ -165,7 +178,7 @@ def gan_step(
         return jax.lax.pmean(grads, axis_name)
     # uniform [0,1) noise (with the latent code embedded in the first dims
     # when categorical), shared by all D unroll steps and the G step
-    noise = sample_noise(k_noise, n, cfg, obsv.dtype)
+    noise = draw_noise(k_noise)
     # one label-smoothing scalar per batch (train.py:471-472)
     zeros_t = jnp.zeros((n, 1), obsv.dtype) + jax.random.uniform(
         k_zero, (), obsv.dtype, 0.0, 0.1)
@@ -281,7 +294,7 @@ def gan_step(
         if cfg.use_variety_loss:
             ks = jax.random.split(k_var, cfg.variety_k)
             pred_k = jax.vmap(lambda kk: rollout(
-                g_params, sample_noise(kk, n, cfg, obsv.dtype)))(ks)
+                g_params, draw_noise(kk)))(ks)
             loss = loss + cfg.loss_l2_w * variety_loss(
                 pred_k[..., :2], pred, valid)
         return loss

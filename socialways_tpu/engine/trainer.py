@@ -47,12 +47,21 @@ def _chunk(batches: Dict[str, jnp.ndarray], i) -> Dict[str, jnp.ndarray]:
 
 
 class Trainer:
-    """Owns packed train/test data on device plus the compiled programs."""
+    """Owns packed train/test data on device plus the compiled programs.
+
+    With ``mesh`` (a 1-D ``data`` mesh from ``parallel.make_mesh``) the
+    SAME production modes run data-parallel: packed chunks are grouped
+    across devices (``shard_packed_for_mesh``) and the epoch/epochs scans
+    run inside ``shard_map`` with per-step gradient pmean over ICI.  The
+    noise stream is the single-device one (each shard slices its rows of
+    the global draw), so mesh training matches single-device big-batch
+    training up to float reassociation."""
 
     def __init__(self, cfg: TrainConfig, dataset: TrajectoryDataset,
-                 pad_chunks_to: Optional[int] = None):
+                 pad_chunks_to: Optional[int] = None, mesh=None):
         self.cfg = cfg.replace(n_past=dataset.n_past, n_next=dataset.n_next)
         self.dataset = dataset
+        self.mesh = mesh
 
         nt = dataset.n_train_samples
         self.train_packed = pack_scene_batches(
@@ -66,18 +75,40 @@ class Trainer:
         else:
             self.test_packed = None
 
-        self._train_dev = _packed_to_device(self.train_packed)
-        self._test_dev = (_packed_to_device(self.test_packed)
-                          if self.test_packed else None)
-
         cfg_static = self.cfg
-        self._step = jax.jit(
-            functools.partial(gan_step, cfg=cfg_static))
-        self._epoch = jax.jit(self._epoch_fn)
-        self._epochs = jax.jit(self._epochs_fn, static_argnames=("n",))
-        self._eval_chunk = jax.jit(
-            functools.partial(eval_chunk, cfg=cfg_static),
-            static_argnames=("k",))
+        if mesh is None:
+            self._train_dev = _packed_to_device(self.train_packed)
+            self._test_dev = (_packed_to_device(self.test_packed)
+                              if self.test_packed else None)
+            self._step = jax.jit(
+                functools.partial(gan_step, cfg=cfg_static))
+            self._epoch = jax.jit(self._epoch_fn)
+            self._epochs = jax.jit(self._epochs_fn, static_argnames=("n",))
+            self._eval_chunk = jax.jit(
+                functools.partial(eval_chunk, cfg=cfg_static),
+                static_argnames=("k",))
+        else:
+            from socialways_tpu.parallel.mesh import (
+                make_dp_epoch_fn, make_dp_epochs_fn, make_dp_eval_chunk,
+                make_dp_train_step, shard_packed_for_mesh)
+            self._train_dev = shard_packed_for_mesh(self.train_packed, mesh)
+            self._test_dev = (
+                shard_packed_for_mesh(self.test_packed, mesh)
+                if self.test_packed else None)
+            self._step = make_dp_train_step(cfg_static, mesh)
+            self._mesh_epoch, _ = make_dp_epoch_fn(cfg_static, mesh)
+            self._mesh_epochs = make_dp_epochs_fn(cfg_static, mesh)
+            self._dp_eval = {}      # k -> compiled dp eval program
+            self._make_dp_eval = functools.partial(
+                make_dp_eval_chunk, cfg_static, mesh)
+
+    @property
+    def n_steps_per_epoch(self) -> int:
+        """Number of optimizer steps one epoch performs (chunk groups on a
+        mesh — each group is ONE synchronized DP step — else chunks)."""
+        if self.mesh is None:
+            return self.train_packed.n_chunks
+        return self._train_dev["obsvs"].shape[0]
 
     # ------------------------------------------------------------- init
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -124,7 +155,10 @@ class Trainer:
         """Run ``n`` epochs fused on device; returns the LAST epoch's
         metrics (matching what the per-epoch path would print last)."""
         tic = time.perf_counter()
-        state, m = self._epochs(state, rng, n=n)
+        if self.mesh is None:
+            state, m = self._epochs(state, rng, n=n)
+        else:
+            state, m = self._mesh_epochs(state, self._train_dev, rng, n=n)
         n_samp = max(int(m.n_samples), 1)
         d_loss, g_loss = float(m.d_loss), float(m.g_loss)
         ade_sum, fde_sum = float(m.ade_sum), float(m.fde_sum)
@@ -136,16 +170,19 @@ class Trainer:
             "train_ade": ade_sum / ss / n_samp,
             "train_fde": fde_sum / ss / n_samp,
             "epoch_time_s": (toc - tic) / n,
-            "steps": self.train_packed.n_chunks * n,
+            "steps": self.n_steps_per_epoch * n,
         }
 
     def train_epoch(self, state: TrainState, rng: jax.Array
                     ) -> Tuple[TrainState, Dict[str, float]]:
         tic = time.perf_counter()
         if self.cfg.epoch_on_device:
-            state, m = self._epoch(state, self._train_dev, rng)
+            if self.mesh is None:
+                state, m = self._epoch(state, self._train_dev, rng)
+            else:
+                state, m = self._mesh_epoch(state, self._train_dev, rng)
         else:
-            n_chunks = self.train_packed.n_chunks
+            n_chunks = self.n_steps_per_epoch
             keys = jax.random.split(rng, n_chunks)
             sums = None
             for i in range(n_chunks):
@@ -173,7 +210,7 @@ class Trainer:
             "train_ade": ade_sum / ss / n,
             "train_fde": fde_sum / ss / n,
             "epoch_time_s": toc - tic,
-            "steps": self.train_packed.n_chunks,
+            "steps": self.n_steps_per_epoch,
         }
 
     # ------------------------------------------------------------- eval
@@ -182,12 +219,18 @@ class Trainer:
         if self._test_dev is None:
             return {}
         k = n_gen_samples or self.cfg.n_gen_samples
-        n_chunks = self.test_packed.n_chunks
+        if self.mesh is None:
+            eval_fn = functools.partial(self._eval_chunk, k=k)
+            n_chunks = self.test_packed.n_chunks
+        else:
+            if k not in self._dp_eval:
+                self._dp_eval[k] = self._make_dp_eval(k=k)
+            eval_fn = self._dp_eval[k]
+            n_chunks = self._test_dev["obsvs"].shape[0]
         keys = jax.random.split(rng, n_chunks)
         total = None
         for i in range(n_chunks):
-            s = self._eval_chunk(state.g_params, _chunk(self._test_dev, i),
-                                 keys[i], k=k)
+            s = eval_fn(state.g_params, _chunk(self._test_dev, i), keys[i])
             total = s if total is None else EvalSums(
                 *(a + b for a, b in zip(total, s)))
         return finalize_eval(total, self.dataset.ss,

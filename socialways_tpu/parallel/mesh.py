@@ -51,13 +51,83 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh):
     ``pack_scene_batches`` per shard, or shard the chunk axis).
     """
     fn = shard_map(
-        functools.partial(gan_step, cfg=cfg, axis_name=DATA_AXIS),
+        functools.partial(gan_step, cfg=cfg, axis_name=DATA_AXIS,
+                          axis_size=mesh.devices.size),
         mesh=mesh,
         in_specs=(P(), batch_pspec(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def grouped_pspec() -> Dict[str, P]:
+    """Specs for ``shard_packed_for_mesh`` output: [groups, n_dev·width, …]
+    with the sample axis (axis 1) sharded."""
+    return {k: P(None, DATA_AXIS)
+            for k in ("obsvs", "preds", "scene_ids", "valid")}
+
+
+def make_dp_epoch_fn(cfg: TrainConfig, mesh: Mesh):
+    """Fused data-parallel epoch: ONE device program scanning the DP GAN
+    step over chunk groups (the mesh composition of the epoch-on-device
+    trainer, VERDICT r1 #4).
+
+    Takes ``shard_packed_for_mesh`` output ([groups, n_dev·width, ...]);
+    each device scans over its own chunk column while gradients pmean over
+    ICI inside every step.  Metrics come back globally reduced (identical
+    on every device, hence replicated out_specs)."""
+    from socialways_tpu.engine.train_step import StepMetrics
+
+    n_dev = mesh.devices.size
+
+    def epoch_body(state, batches, rng):
+        n_groups = batches["obsvs"].shape[0]
+        keys = jax.random.split(rng, n_groups)
+
+        def body(carry, xs):
+            chunk, key = xs
+            return gan_step(carry, chunk, key, cfg, axis_name=DATA_AXIS,
+                            axis_size=n_dev)
+
+        state, ms = jax.lax.scan(body, state, (batches, keys))
+        return state, StepMetrics(
+            d_loss=jnp.mean(ms.d_loss),
+            g_loss=jnp.mean(ms.g_loss),
+            ade_sum=jnp.sum(ms.ade_sum),
+            fde_sum=jnp.sum(ms.fde_sum),
+            n_samples=jnp.sum(ms.n_samples),
+        )
+
+    fn = shard_map(epoch_body, mesh=mesh,
+                   in_specs=(P(), grouped_pspec(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn), epoch_body
+
+
+def make_dp_epochs_fn(cfg: TrainConfig, mesh: Mesh):
+    """``n`` fused DP epochs as ONE device program (scan over epochs of
+    the scan over chunk groups) — zero host round-trips inside the block.
+    Returns fn(state, batches, rng, n) with static ``n``."""
+    _, epoch_body = make_dp_epoch_fn(cfg, mesh)
+
+    def epochs_body(state, batches, rng, n):
+        keys = jax.random.split(rng, n)
+
+        def body(carry, key):
+            return epoch_body(carry, batches, key)
+
+        state, ms = jax.lax.scan(body, state, keys)
+        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return state, last
+
+    def run(state, batches, rng, n):
+        fn = shard_map(functools.partial(epochs_body, n=n),
+                       mesh=mesh, in_specs=(P(), grouped_pspec(), P()),
+                       out_specs=(P(), P()), check_vma=False)
+        return fn(state, batches, rng)
+
+    return jax.jit(run, static_argnames=("n",))
 
 
 def make_dp_eval_chunk(cfg: TrainConfig, mesh: Mesh, k: int):

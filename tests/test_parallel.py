@@ -278,3 +278,119 @@ def test_local_group_slice_partitions_evenly():
     got = [local_group_slice(8, pi, 4) for pi in range(4)]
     idx = [list(range(8))[s] for s in got]
     assert sum(idx, []) == list(range(8))
+
+
+def test_dp_step_matches_single_device_bigbatch_exactly(mesh):
+    """With the global-draw-then-slice noise stream, the 8-way DP step
+    reproduces the single-device big-batch step: identical metrics and
+    updated params (up to float reassociation in the reductions)."""
+    cfg = CFG.replace(n_unrolling_steps=1)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _global_batch(8, key=11)
+    rng = jax.random.PRNGKey(42)
+
+    step = make_dp_train_step(cfg, mesh)
+    dp_state, dp_m = step(state, batch, rng)
+    sd_state, sd_m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+
+    np.testing.assert_allclose(float(dp_m.g_loss), float(sd_m.g_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(dp_m.d_loss), float(sd_m.d_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(dp_m.ade_sum), float(sd_m.ade_sum),
+                               rtol=1e-5)
+    assert int(dp_m.n_samples) == int(sd_m.n_samples) == 64
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        dp_state.g_params, sd_state.g_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        dp_state.d_params, sd_state.d_params)
+
+
+def test_dp_step_matches_single_device_with_uneven_padding(mesh):
+    """Count-weighted grad pmean: param updates still equal the
+    single-device big-batch step when shards carry different padding."""
+    cfg = CFG.replace(n_unrolling_steps=0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _global_batch(8, key=5)
+    valid = np.asarray(batch["valid"]).copy()
+    valid[3 * 8 + 4:3 * 8 + 8] = False
+    ids = np.asarray(batch["scene_ids"]).copy()
+    ids[3 * 8 + 4:3 * 8 + 8] = -1
+    batch["valid"] = jnp.asarray(valid)
+    batch["scene_ids"] = jnp.asarray(ids)
+    rng = jax.random.PRNGKey(7)
+
+    step = make_dp_train_step(cfg, mesh)
+    dp_state, dp_m = step(state, batch, rng)
+    sd_state, sd_m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+
+    assert int(dp_m.n_samples) == int(sd_m.n_samples) == 60
+    np.testing.assert_allclose(float(dp_m.ade_sum), float(sd_m.ade_sum),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        dp_state.g_params, sd_state.g_params)
+
+
+def test_mesh_epoch_fn_matches_dp_step_loop(toy_npz, mesh):
+    """The fused DP epoch (shard_map around the chunk-group scan) ==
+    a host loop of DP steps over the same groups and keys."""
+    from socialways_tpu.parallel import make_dp_epoch_fn
+
+    ds = load_npz_dataset(toy_npz)
+    cfg = CFG.replace(batch_size=24, n_past=ds.obsvs.shape[1],
+                      n_next=ds.preds.shape[1])
+    packed = pack_scene_batches(ds.obsvs[:ds.n_train_samples],
+                                ds.preds[:ds.n_train_samples],
+                                ds.train_batches, cfg.batch_size)
+    grouped = shard_packed_for_mesh(packed, mesh)
+    state0 = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(3)
+
+    epoch_fn, _ = make_dp_epoch_fn(cfg, mesh)
+    fused_state, fused_m = epoch_fn(state0, grouped, rng)
+
+    step = make_dp_train_step(cfg, mesh)
+    n_groups = grouped["obsvs"].shape[0]
+    keys = jax.random.split(rng, n_groups)      # same split as epoch_fn
+    state = state0
+    n_total = 0
+    for g in range(n_groups):
+        state, m = step(state, {k: v[g] for k, v in grouped.items()},
+                        keys[g])
+        n_total += int(m.n_samples)
+
+    assert int(fused_m.n_samples) == n_total == ds.n_train_samples
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        fused_state.g_params, state.g_params)
+
+
+def test_mesh_trainer_end_to_end(toy_npz, mesh):
+    """Trainer(mesh=...): fused epochs + eval run DP and train the toy."""
+    from socialways_tpu.engine import Trainer
+
+    ds = load_npz_dataset(toy_npz)
+    cfg = CFG.replace(batch_size=24, n_epochs=4)
+    tr = Trainer(cfg, ds, mesh=mesh)
+    state = tr.init_state()
+    rng = jax.random.PRNGKey(0)
+
+    state, m = tr.train_epochs(state, rng, 4)
+    assert np.isfinite(m["g_loss"]) and np.isfinite(m["train_ade"])
+    assert m["steps"] == tr.n_steps_per_epoch * 4
+
+    ev = tr.evaluate(state, jax.random.PRNGKey(1), n_gen_samples=4)
+    assert np.isfinite(ev["ade_min"])
+    assert ev["ade_min"] <= ev["ade_avg"] + 1e-9
+
+    state, m1 = tr.train_epoch(state, jax.random.PRNGKey(2))
+    assert np.isfinite(m1["g_loss"])
