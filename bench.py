@@ -9,11 +9,15 @@ info loss on — train.py:53-84).  One "step" = everything inside the
 reference's per-chunk body: 2 discriminator updates (unroll), 1 generator
 update, metrics.
 
-``vs_baseline`` is the speedup over a faithful PyTorch-eager implementation
-of the same step measured on this host (the reference repo publishes no
-numbers and needs CUDA; at h=64 the reference is dispatch-bound, so CPU
-eager is a close proxy for its single-GPU throughput — see BASELINE.md).
-The proxy measurement is cached in .bench_baseline.json.
+``vs_baseline`` divides by the ACTUAL reference's measured steps/s:
+/root/reference/train.py runs here (shimmed — time.clock and .cuda()
+no-ops, nothing touching its math; see benchmarks/run_reference.py) on a
+synthetic npz shaped exactly like this benchmark's config.  At h=64 the
+reference is dispatch-bound, so its CPU-eager throughput is a close proxy
+for its single-GPU throughput (BASELINE.md).  The social baseline still
+uses the in-file eager-torch proxy: the reference hard-codes
+use_social=False (train.py:83), so its social path cannot run unedited.
+Measurements are cached in .bench_baseline.json.
 """
 
 import json
@@ -344,17 +348,42 @@ def _bench_torch_reference(n_steps: int = 8, use_social: bool = False):
     return n_steps / (time.perf_counter() - tic)
 
 
+def _run_real_reference() -> float:
+    """Train the ACTUAL reference (/root/reference/train.py, shimmed, via
+    benchmarks/run_reference.py) on the bench-shaped npz and return its
+    measured steps/s — the ground-truth denominator for vs_baseline."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "benchmarks", "run_reference.py"),
+         "--epochs", "12"],
+        capture_output=True, text=True, timeout=900, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])[
+        "reference_steps_per_sec"]
+
+
 def get_reference_baseline(use_social: bool = False) -> float:
+    """Non-social: the real reference's measured steps/s.  Social: the
+    eager-torch proxy (the reference hard-codes use_social=False at
+    train.py:83; its social path cannot be enabled without editing it)."""
     key = ("torch_eager_social_steps_per_sec" if use_social
-           else "torch_eager_steps_per_sec")
+           else "reference_real_steps_per_sec")
     cache = {}
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as fh:
             cache = json.load(fh)
         if key in cache:
             return cache[key]
-    cache[key] = _bench_torch_reference(
-        n_steps=4 if use_social else 8, use_social=use_social)
+    if use_social:
+        cache[key] = _bench_torch_reference(n_steps=4, use_social=True)
+    else:
+        try:
+            cache[key] = _run_real_reference()
+        except Exception as e:        # reference tree absent: proxy fallback
+            print(f"real-reference run failed ({e}); using proxy",
+                  file=sys.stderr)
+            cache[key] = _bench_torch_reference(n_steps=8)
     with open(_BASELINE_CACHE, "w") as fh:
         json.dump(cache, fh)
     return cache[key]
@@ -385,8 +414,9 @@ def main():
         "social_train_steps_per_sec": round(social_sps, 2),
         "social_vs_baseline": round(social_sps / social_baseline, 2),
         "rollout_agent_steps_per_sec": round(agent_steps, 1),
-        "baseline_torch_eager_steps_per_sec": round(baseline, 3),
-        "baseline_torch_social_steps_per_sec": round(social_baseline, 3),
+        "baseline_reference_real_steps_per_sec": round(baseline, 3),
+        "baseline_torch_social_proxy_steps_per_sec": round(social_baseline,
+                                                           3),
     }))
 
 
