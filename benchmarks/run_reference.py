@@ -49,7 +49,27 @@ def count_chunks(batches, batch_size: int, train_size: int) -> int:
     return n_chunks
 
 
-def run(npz: str, epochs: int, batch_size: int = 256):
+_EVAL_RE = (r"Avg ADE,FDE \(12\)= \(([\d.]+), ([\d.]+)\) \| "
+            r"Min\(20\) ADE,FDE \(12\)= \(([\d.]+), ([\d.]+)\)")
+
+
+def _capture_test(mod_globals, **kwargs):
+    """Run the reference's own test() (train.py:563-616) over the FULL
+    held-out split (just_one=False) and parse its printed ADE/FDE."""
+    import contextlib
+    import io
+    import re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod_globals["test"](**kwargs)
+    m = re.search(_EVAL_RE, buf.getvalue())
+    assert m, f"could not parse test() output: {buf.getvalue()!r}"
+    return {"ade_avg": float(m.group(1)), "fde_avg": float(m.group(2)),
+            "ade_min20": float(m.group(3)), "fde_min20": float(m.group(4))}
+
+
+def run(npz: str, epochs: int, batch_size: int = 256,
+        final_test: bool = False):
     import numpy as np
     import torch
 
@@ -80,9 +100,16 @@ def run(npz: str, epochs: int, batch_size: int = 256):
                 "--batch-size", str(batch_size)]
     os.chdir(rundir)
     sys.path.insert(0, os.path.dirname(REFERENCE))
+    final = None
     try:
         import runpy
-        runpy.run_path(REFERENCE, run_name="__main__")
+        g = runpy.run_path(REFERENCE, run_name="__main__")
+        if final_test:
+            # full-split eval with the reference's own test() — the
+            # in-training eval is just_one=True (first test batch only,
+            # train.py:668)
+            final = _capture_test(g, n_gen_samples=20)
+            final["linear"] = _capture_test(g, linear=True)
     finally:
         os.chdir(cwd0)
         sys.argv = argv0
@@ -97,6 +124,15 @@ def run(npz: str, epochs: int, batch_size: int = 256):
     # skip the first epoch (allocator/threadpool warmup)
     steady = epoch_times[1:] or epoch_times
     sps = n_chunks * len(steady) / sum(steady)
+    if final is not None:
+        return {
+            "final_eval": final,
+            "reference_steps_per_sec": round(sps, 3),
+            "n_chunks_per_epoch": n_chunks,
+            "epochs": epochs,
+            "npz": os.path.abspath(npz),
+            "sandbox": sandbox,
+        }
     return {
         "reference_steps_per_sec": round(sps, 3),
         "n_chunks_per_epoch": n_chunks,
@@ -143,13 +179,18 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--out", default="")
+    ap.add_argument("--final-test", action="store_true",
+                    help="after training, run the reference's test() over "
+                         "the FULL held-out split (and the CV-linear "
+                         "baseline) and report the parsed ADE/FDE")
     args = ap.parse_args()
 
     npz = args.npz
     if not npz:
         npz = os.path.join(tempfile.gettempdir(), "refbench_data.npz")
         make_bench_npz(npz)
-    result = run(npz, args.epochs, args.batch_size)
+    result = run(npz, args.epochs, args.batch_size,
+                 final_test=args.final_test)
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as fh:
