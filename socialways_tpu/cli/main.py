@@ -574,6 +574,16 @@ def cmd_stats(args) -> int:
         one_nn, emd = per_epoch[epoch]
         print(f"epoch = {epoch}, EMD = {emd:.5f}, 1nn = {one_nn:.5f}")
     print(f"cached to {os.path.join(args.preds_dir, f'stats{args.num_samples}.npz')}")
+    if args.plot:
+        from socialways_tpu.viz.stats_plots import plot_stats_curves
+        dirs = [args.preds_dir] + list(args.extra_dirs)
+        for d in args.extra_dirs:     # make sure overlays have caches too
+            calc_and_store_stats(d, real, num_samples=args.num_samples)
+        out = plot_stats_curves(dirs, args.plot,
+                                labels=args.labels or None,
+                                num_samples=args.num_samples,
+                                iters_per_epoch=args.iters_per_epoch)
+        print(f"wrote {out}")
     return 0
 
 
@@ -652,6 +662,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=20)
     p.add_argument("--group", type=int, default=6,
                    help="pedestrians per real sample set")
+    p.add_argument("--plot", default="",
+                   help="also render the EMD & 1-NN vs-iteration curve "
+                        "figure (calc_statistics.py:122-144) to this PNG")
+    p.add_argument("--extra-dirs", nargs="*", default=[],
+                   help="additional dump dirs to overlay in --plot "
+                        "(multi-variant comparison)")
+    p.add_argument("--labels", nargs="*", default=[],
+                   help="curve labels for --plot (default: dir names)")
+    p.add_argument("--iters-per-epoch", type=int, default=1,
+                   help="x-axis scale: training steps per epoch")
     p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("sweep",

@@ -178,3 +178,31 @@ def test_toy_mode_coverage_metric():
     # off all modes → 0
     pk0 = np.stack([np.stack([traj_at(45)] * n)] * 3)
     assert toy_mode_coverage(obsvs, pk0) == 0.0
+
+
+def test_stats_curve_plot(tmp_path, toy_npz):
+    """cli stats --plot: multi-run EMD/1-NN curve figure renders
+    (calc_statistics.py:122-144 parity)."""
+    from socialways_tpu.io.dumps import dump_predictions
+    from socialways_tpu.viz.stats_plots import plot_stats_curves
+
+    real = load_real_samples(toy_npz, group=6)
+    rng = np.random.RandomState(0)
+    runs = []
+    for run in ("a", "b"):
+        for epoch in (50, 100):
+            preds_k = real[:20, :, 2:] + rng.randn(20, 6,
+                                                   real.shape[2] - 2,
+                                                   2) * 0.05
+            d = str(tmp_path / run / str(epoch))
+            dump_predictions(d, epoch, 0, real[0, :, :2], preds_k,
+                             real[0, :, 2:], real[0, :, 2:])
+        calc_and_store_stats(str(tmp_path / run), real, num_samples=20,
+                             min_peds=3)
+        runs.append(str(tmp_path / run))
+
+    out = plot_stats_curves(runs, str(tmp_path / "curves.png"),
+                            labels=["variant-a", "variant-b"],
+                            iters_per_epoch=3)
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 10000
