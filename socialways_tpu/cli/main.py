@@ -98,6 +98,22 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="run the D phase only on every k-th GAN step "
                         "(skipped steps leave D untouched and train G "
                         "against the current D; 1 = reference parity)")
+    p.add_argument("--d-update-every-end", type=int, default=0,
+                   help="warmup-style D/G ratio schedule: switch "
+                        "--d-update-every to this value after "
+                        "--d-update-every-switch steps (0 = constant)")
+    p.add_argument("--d-update-every-switch", type=int, default=0,
+                   help="G-step count at which the D/G ratio switches")
+    p.add_argument("--lr-warmup-steps", type=int, default=0,
+                   help="linear lr warmup over the first N optimizer "
+                        "updates, both optimizers (0 = off)")
+    p.add_argument("--d-lr-warmup-steps", type=int, default=0,
+                   help="D-only lr warmup override (0 = use "
+                        "--lr-warmup-steps)")
+    p.add_argument("--g-ema-decay", type=float, default=0.0,
+                   help="EMA of generator params (e.g. 0.999); eval, "
+                        "dumps, and best-checkpoint selection use the EMA "
+                        "generator (0 = off)")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off, reference "
                         "behavior; 1.0 recommended for long runs)")
@@ -175,6 +191,11 @@ def _cfg_from_args(args) -> "TrainConfig":
         d_lr_decay_rate=getattr(args, "d_lr_decay_rate", 1.0),
         d_lr_decay_steps=getattr(args, "d_lr_decay_steps", 0),
         d_update_every=getattr(args, "d_update_every", 1),
+        d_update_every_end=getattr(args, "d_update_every_end", 0),
+        d_update_every_switch=getattr(args, "d_update_every_switch", 0),
+        lr_warmup_steps=getattr(args, "lr_warmup_steps", 0),
+        d_lr_warmup_steps=getattr(args, "d_lr_warmup_steps", 0),
+        g_ema_decay=getattr(args, "g_ema_decay", 0.0),
         max_scene_size=getattr(args, "max_scene_size", 0),
         remat_steps=getattr(args, "remat_steps", False),
         compute_dtype="bfloat16" if getattr(args, "bf16", False)
@@ -362,7 +383,8 @@ def _eval_coverage(trainer, state, ds, cfg, rng) -> float:
     nt = ds.n_train_samples
     obs = jnp.asarray(ds.obsvs[nt:nt + 64])
     ids = jnp.zeros((obs.shape[0],), jnp.int32)
-    pk = k_sample_rollout(state.g_params, obs, ids,
+    from socialways_tpu.engine.train_step import eval_params
+    pk = k_sample_rollout(eval_params(state), obs, ids,
                           jax.random.fold_in(rng, 99), cfg.n_gen_samples,
                           cfg)
     return toy_mode_coverage(ds.scale.denormalize(np.asarray(obs)),
@@ -377,7 +399,8 @@ def _dump_first_chunk(trainer, state, ds, cfg, epoch, rng) -> None:
 
     chunk = {k: v[0] for k, v in trainer._test_dev.items()}
     nv = int(trainer.test_packed.n_valid[0])
-    pred_k = k_sample_rollout(state.g_params, chunk["obsvs"],
+    from socialways_tpu.engine.train_step import eval_params
+    pred_k = k_sample_rollout(eval_params(state), chunk["obsvs"],
                               chunk["scene_ids"], rng, cfg.n_gen_samples,
                               cfg)
     lnr = predict_cv(chunk["obsvs"], cfg.n_next)
@@ -476,7 +499,8 @@ def cmd_sweep(args) -> int:
             obs = jnp.asarray(ds.obsvs[nt:nt + 64])
             ids = jnp.zeros((obs.shape[0],), jnp.int32)
             rng, sub = jax.random.split(rng)
-            pk = k_sample_rollout(state.g_params, obs, ids, sub,
+            from socialways_tpu.engine.train_step import eval_params
+            pk = k_sample_rollout(eval_params(state), obs, ids, sub,
                                   args.coverage_k, tr.cfg)
             cov = toy_mode_coverage(
                 ds.scale.denormalize(np.asarray(obs)),
@@ -535,7 +559,8 @@ def cmd_simulate(args) -> int:
         state, _, _, _ = restore_checkpoint(args.model_file,
                                             init_train_state(
                                                 jax.random.PRNGKey(0), cfg))
-        params = state.g_params
+        from socialways_tpu.engine.train_step import eval_params
+        params = eval_params(state)
 
     n = args.agents
     rng = np.random.RandomState(cfg.seed)

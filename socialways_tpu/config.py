@@ -52,6 +52,22 @@ class TrainConfig:
     # optimizer state are untouched and G trains against the CURRENT D
     # (no unroll lookahead).  1 = reference parity (D every step).
     d_update_every: int = 1
+    # warmup-style D/G ratio SCHEDULE: after d_update_every_switch G
+    # steps, the ratio changes from d_update_every to d_update_every_end
+    # (e.g. 1 → 2: full D updates early while D learns the data manifold,
+    # then relax).  0 = disabled (constant ratio).
+    d_update_every_end: int = 0
+    d_update_every_switch: int = 0
+    # linear lr warmup over the first N optimizer updates (0 = off,
+    # reference parity).  Composes with the staircase decays above;
+    # d_lr_warmup_steps overrides the D optimizer's warmup when > 0.
+    lr_warmup_steps: int = 0
+    d_lr_warmup_steps: int = 0
+    # exponential moving average of generator params, updated after every
+    # G step: ema = d·ema + (1-d)·params.  0 = off.  When on, evaluation,
+    # dumps, and checkpoint-best selection read the EMA generator — the
+    # classic GAN variance reducer (the raw params keep training).
+    g_ema_decay: float = 0.0
 
     # ---- architecture ----
     hidden_size: int = 64

@@ -1,6 +1,7 @@
 from socialways_tpu.engine.train_step import (
     StepMetrics,
     TrainState,
+    eval_params,
     gan_step,
     init_train_state,
     make_optimizers,
@@ -15,7 +16,8 @@ from socialways_tpu.engine.ethucy import merge_scenes, run_leave_one_out
 from socialways_tpu.engine import losses
 
 __all__ = [
-    "StepMetrics", "TrainState", "gan_step", "init_train_state",
+    "StepMetrics", "TrainState", "eval_params", "gan_step",
+    "init_train_state",
     "make_optimizers", "Trainer", "losses", "crowd_simulate",
     "crowd_simulate_sharded", "make_crowd_sim", "merge_scenes",
     "run_leave_one_out",

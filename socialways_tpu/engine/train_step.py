@@ -49,6 +49,15 @@ class TrainState(NamedTuple):
     d_params: Dict
     g_opt: optax.OptState
     d_opt: optax.OptState
+    # EMA of g_params (cfg.g_ema_decay > 0), else None — None contributes
+    # no pytree leaves, so checkpoints without EMA keep their layout
+    g_ema: Dict | None = None
+
+
+def eval_params(state: TrainState) -> Dict:
+    """Generator params to EVALUATE with: the EMA shadow when tracked
+    (classic GAN variance reducer), else the raw training params."""
+    return state.g_ema if state.g_ema is not None else state.g_params
 
 
 class StepMetrics(NamedTuple):
@@ -61,23 +70,30 @@ class StepMetrics(NamedTuple):
 
 def make_optimizers(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
                                                optax.GradientTransformation]:
-    def tx(lr, decay_rate, decay_steps):
+    def tx(lr, decay_rate, decay_steps, warmup_steps):
         if decay_rate != 1.0 and decay_steps > 0:
             lr = optax.exponential_decay(
                 lr, transition_steps=decay_steps,
                 decay_rate=decay_rate, staircase=True)
+        if warmup_steps > 0:
+            base = lr if callable(lr) else (lambda step, v=lr: v)
+
+            def lr(step, base=base, w=warmup_steps):
+                return base(step) * jnp.minimum(1.0, (step + 1.0) / w)
         adam = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
         if cfg.grad_clip > 0:
             return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                                adam)
         return adam
-    # D-only decay overrides the shared schedule for the D optimizer
+    # D-only decay/warmup override the shared schedules for the D optimizer
     if cfg.d_lr_decay_steps > 0:
         d_decay = (cfg.d_lr_decay_rate, cfg.d_lr_decay_steps)
     else:
         d_decay = (cfg.lr_decay_rate, cfg.lr_decay_steps)
-    return (tx(cfg.lr_g, cfg.lr_decay_rate, cfg.lr_decay_steps),
-            tx(cfg.lr_d, *d_decay))
+    d_warmup = cfg.d_lr_warmup_steps or cfg.lr_warmup_steps
+    return (tx(cfg.lr_g, cfg.lr_decay_rate, cfg.lr_decay_steps,
+               cfg.lr_warmup_steps),
+            tx(cfg.lr_d, *d_decay, d_warmup))
 
 
 def _g_step_count(g_opt) -> jnp.ndarray:
@@ -107,8 +123,9 @@ def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
     g_params = init_generator(kg, cfg, dtype)
     d_params = init_discriminator(kd, cfg, dtype)
     g_tx, d_tx = make_optimizers(cfg)
+    g_ema = g_params if cfg.g_ema_decay > 0 else None
     return TrainState(g_params, d_params, g_tx.init(g_params),
-                      d_tx.init(d_params))
+                      d_tx.init(d_params), g_ema)
 
 
 def gan_step(
@@ -257,14 +274,25 @@ def gan_step(
                     d_backup = d_params  # snapshot after the first update
         return d_params, d_opt, d_backup, d_loss_first
 
-    if cfg.d_update_every > 1:
-        # D/G update-ratio schedule: on steps where step % d_update_every
-        # != 0 the whole D phase is SKIPPED (lax.cond — the grad+Adam work
-        # is not executed, not just discarded): D params/optimizer keep
-        # their old values, the G phase below trains against the CURRENT D
-        # (no unroll lookahead), and the metric reports the forward-only
-        # d_loss of the current D
-        do_d = (_g_step_count(state.g_opt) % cfg.d_update_every) == 0
+    ratio_scheduled = (cfg.d_update_every_end > 0
+                       and cfg.d_update_every_switch > 0
+                       and cfg.d_update_every_end != cfg.d_update_every)
+    if cfg.d_update_every > 1 or ratio_scheduled:
+        # D/G update-ratio schedule: on steps where step % every != 0 the
+        # whole D phase is SKIPPED (lax.cond — the grad+Adam work is not
+        # executed, not just discarded): D params/optimizer keep their old
+        # values, the G phase below trains against the CURRENT D (no
+        # unroll lookahead), and the metric reports the forward-only
+        # d_loss of the current D.  With the warmup-style schedule the
+        # ratio switches from d_update_every to d_update_every_end after
+        # d_update_every_switch G steps.
+        step = _g_step_count(state.g_opt)
+        if ratio_scheduled:
+            every = jnp.where(step < cfg.d_update_every_switch,
+                              cfg.d_update_every, cfg.d_update_every_end)
+        else:
+            every = cfg.d_update_every
+        do_d = (step % every) == 0
         d_params, d_opt, d_backup, d_loss_first = jax.lax.cond(
             do_d, d_phase,
             lambda _: (state.d_params, state.d_opt, state.d_params,
@@ -317,6 +345,13 @@ def gan_step(
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
 
+    if cfg.g_ema_decay > 0:
+        dd = cfg.g_ema_decay
+        g_ema = jax.tree_util.tree_map(
+            lambda e, p: dd * e + (1.0 - dd) * p, state.g_ema, g_params)
+    else:
+        g_ema = state.g_ema
+
     # ---------------- restore D (unrolled-GAN bookkeeping) -----------------
     if cfg.n_unrolling_steps > 0 and d_backup is not None:
         if cfg.d_restore == "full":
@@ -335,7 +370,7 @@ def gan_step(
         fde_sum=jnp.sum(err[:, -1]),
         n_samples=jnp.sum(valid).astype(jnp.int32),
     )
-    new_state = TrainState(g_params, d_params, g_opt, d_opt)
+    new_state = TrainState(g_params, d_params, g_opt, d_opt, g_ema)
 
     # fully-padded chunks (mesh-divisibility filler) must be no-ops
     any_valid = jnp.any(valid)

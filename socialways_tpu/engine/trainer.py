@@ -27,6 +27,7 @@ from socialways_tpu.data.dataset import (
 from socialways_tpu.engine.train_step import (
     StepMetrics,
     TrainState,
+    eval_params,
     gan_step,
     init_train_state,
 )
@@ -230,7 +231,8 @@ class Trainer:
         keys = jax.random.split(rng, n_chunks)
         total = None
         for i in range(n_chunks):
-            s = eval_fn(state.g_params, _chunk(self._test_dev, i), keys[i])
+            s = eval_fn(eval_params(state), _chunk(self._test_dev, i),
+                        keys[i])
             total = s if total is None else EvalSums(
                 *(a + b for a, b in zip(total, s)))
         return finalize_eval(total, self.dataset.ss,

@@ -500,3 +500,87 @@ def test_remat_steps_is_value_identical():
         lambda x, y: np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7),
         a.g_params, b.g_params)
+
+
+def test_g_ema_tracks_and_checkpoints(tmp_path):
+    """EMA shadow: updated as d*ema + (1-d)*params after each G step,
+    used by eval_params, round-trips through checkpoints."""
+    import jax
+    from socialways_tpu.engine.train_step import (eval_params, gan_step,
+                                                  init_train_state)
+    from socialways_tpu.io.checkpoint import (restore_checkpoint,
+                                              save_checkpoint)
+
+    cfg = CFG.replace(n_unrolling_steps=0, g_ema_decay=0.9)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert state.g_ema is not None
+    batch = _batch()
+    s1, _ = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, jax.random.PRNGKey(1))
+
+    expect = jax.tree_util.tree_map(
+        lambda e, p: 0.9 * e + 0.1 * p, state.g_params, s1.g_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        s1.g_ema, expect)
+    # eval reads the EMA shadow
+    assert eval_params(s1) is s1.g_ema
+
+    path = str(tmp_path / "ema.npz")
+    save_checkpoint(path, s1, 1, jax.random.PRNGKey(2))
+    template = init_train_state(jax.random.PRNGKey(3), cfg)
+    s2, _, _, _ = restore_checkpoint(path, template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s1.g_ema, s2.g_ema)
+
+    # without EMA the field is structurally absent (old checkpoint layout)
+    cfg0 = cfg.replace(g_ema_decay=0.0)
+    s0 = init_train_state(jax.random.PRNGKey(0), cfg0)
+    assert s0.g_ema is None and eval_params(s0) is s0.g_params
+
+
+def test_lr_warmup_scales_first_updates():
+    import jax
+    import jax.numpy as jnp
+    from socialways_tpu.engine.train_step import make_optimizers
+
+    cfg = TrainConfig(lr_warmup_steps=10)
+    cfg0 = TrainConfig()
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.full((3,), 0.5)}
+
+    for c, scale in ((cfg, 0.1), (cfg0, 1.0)):
+        g_tx, _ = make_optimizers(c)
+        st = g_tx.init(params)
+        upd, _ = g_tx.update(grads, st, params)
+        # Adam step magnitude == lr at step 0; warmup scales it by 1/10
+        np.testing.assert_allclose(float(jnp.abs(upd["w"]).max()),
+                                   c.lr_g * scale, rtol=1e-4)
+
+
+def test_d_update_ratio_warmup_schedule():
+    """--d-update-every 1 + end 2 (switch at 2): D updates on steps
+    0,1 (ratio 1) then every other step (2 yes, 3 no)."""
+    import jax
+    from socialways_tpu.engine.train_step import gan_step, init_train_state
+
+    cfg = CFG.replace(n_unrolling_steps=0, d_update_every=1,
+                      d_update_every_end=2, d_update_every_switch=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch()
+    step = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))
+
+    changed = []
+    for i in range(4):
+        new_state, _ = step(state, batch, jax.random.PRNGKey(10 + i))
+        d_delta = jax.tree_util.tree_reduce(
+            lambda acc, x: acc + float(np.abs(np.asarray(x)).sum()),
+            jax.tree_util.tree_map(lambda a, b: a - b,
+                                   new_state.d_params, state.d_params),
+            0.0)
+        changed.append(d_delta > 0)
+        state = new_state
+    assert changed == [True, True, True, False]
