@@ -636,6 +636,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="socialways-tpu",
         description="TPU-native Social Ways trajectory prediction framework")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (note: the JAX_PLATFORMS "
+                         "env var is ignored by some TPU plugins; this "
+                         "flag sets the config before first backend use)")
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("create-toy", help="generate the toy dataset")
@@ -744,6 +748,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 
