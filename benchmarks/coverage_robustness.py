@@ -1,0 +1,119 @@
+"""Seed-robustness sweep for full toy mode coverage (VERDICT r1 #5).
+
+Round-1 status: categorical InfoGAN codes are the robust recipe but only
+reach 0.72-0.78 coverage across seeds on the small toy; the continuous
+info-5.0 recipe reaches 1.00 but sits on divergence cliffs.  This driver
+A/Bs the two untried stabilizer axes — EMA of G (--g-ema-decay) and
+warmup-style schedules (--lr-warmup-steps, --d-update-every-end/-switch)
+— across seeds on BOTH toy configs, through the PRODUCTION train path
+(fused epochs, block 2000 — sweep-path streams diverge differently,
+ROADMAP §1), with NO peak-checkpoint cherry-picking: the scored number is
+the FINAL-epoch coverage (peak is recorded for context only).
+
+Usage:
+    python benchmarks/coverage_robustness.py --recipes base,ema \
+        --seeds 0,1,2 --toys small,big --epochs 40000 --out result.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+RECIPES = {
+    # categorical codes: round-1's robust recipe (the baseline arm)
+    "base": [],
+    "ema": ["--g-ema-decay", "0.999"],
+    "ema99": ["--g-ema-decay", "0.99"],
+    "warmup": ["--lr-warmup-steps", "2000"],
+    "dwarm": ["--d-update-every-end", "2", "--d-update-every-switch",
+              "20000"],
+    "ema+warmup": ["--g-ema-decay", "0.999", "--lr-warmup-steps", "2000"],
+}
+COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
+          "--n-latent-codes", "3", "--info-weight", "0.5",
+          "--fused-epochs", "--block-size", "2000", "--track-coverage"]
+
+TOYS = {
+    # (create-toy args, n_per_batch interleaves conditions -> usable split)
+    "small": ["--n_conditions", "6", "--n_samples", "216",
+              "--n_per_batch", "6"],
+    "big": ["--n_conditions", "8", "--n_samples", "768",
+            "--n_per_batch", "8"],
+}
+
+_COV_RE = re.compile(r"mode coverage = ([\d.]+)")
+_ADE_RE = re.compile(r"Min\(20\) ADE,FDE \(\d+\)= \(([\d.]+), ([\d.]+)\)")
+
+
+def ensure_toy(kind: str, workdir: str) -> str:
+    path = os.path.join(workdir, f"toy_{kind}.npz")
+    if not os.path.exists(path):
+        subprocess.run([sys.executable, "-m", "socialways_tpu.cli.main",
+                        "create-toy", "--npz", path] + TOYS[kind],
+                       check=True, cwd=REPO)
+    return path
+
+
+def run_one(toy_npz: str, recipe: str, seed: int, epochs: int,
+            workdir: str) -> dict:
+    model_dir = os.path.join(workdir, f"m_{recipe}_{seed}_"
+                             f"{os.path.basename(toy_npz)}")
+    cmd = [sys.executable, "-m", "socialways_tpu.cli.main", "train",
+           "--data", toy_npz, "--epochs", str(epochs),
+           "--seed", str(seed), "--model-dir", model_dir,
+           ] + COMMON + RECIPES[recipe]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         timeout=7200)
+    if out.returncode != 0:
+        return {"error": out.stderr[-1500:]}
+    covs = [float(m) for m in _COV_RE.findall(out.stdout)]
+    ades = [float(m[0]) for m in _ADE_RE.findall(out.stdout)]
+    if not covs:
+        return {"error": "no coverage lines in output"}
+    return {
+        "final_coverage": covs[-1],
+        "peak_coverage": max(covs),
+        "mean_last5_coverage": round(sum(covs[-5:]) / len(covs[-5:]), 4),
+        "final_ade_min20": ades[-1] if ades else None,
+        "best_ade_min20": min(ades) if ades else None,
+        "n_evals": len(covs),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipes", default="base,ema")
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--toys", default="small,big")
+    ap.add_argument("--epochs", type=int, default=40000)
+    ap.add_argument("--workdir", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="covrob_")
+    results = {"epochs": args.epochs}
+    for toy in args.toys.split(","):
+        npz = ensure_toy(toy, workdir)
+        for recipe in args.recipes.split(","):
+            for seed in [int(s) for s in args.seeds.split(",")]:
+                key = f"{toy}/{recipe}/seed{seed}"
+                results[key] = run_one(npz, recipe, seed, args.epochs,
+                                       workdir)
+                print(key, results[key], flush=True)
+                if args.out:
+                    with open(args.out, "w") as fh:
+                        json.dump(results, fh, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
