@@ -1,0 +1,85 @@
+"""LOO protocol-parity invariants on tiny synthetic obsmat scenes.
+
+These pin the semantics that benchmarks/ethucy_parity.py relies on:
+merge_scenes (our LOO runner) must equal loading a merged fold npz (the
+path the unmodified reference consumes), and the fold construction must
+place the held-out scene exactly in the reference's hard-coded 4/5 test
+split (train.py:95-98)."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.synth_ethucy import (  # noqa: E402
+    SCENES,
+    build_all,
+    make_scene,
+    merge_fold,
+    scene_npz,
+    write_obsmat,
+)
+
+
+def _tiny_scenes(tmp_path):
+    out = str(tmp_path / "scenes")
+    os.makedirs(out, exist_ok=True)
+    counts = {}
+    for scene in SCENES:
+        om = os.path.join(out, f"obsmat_{scene}.txt")
+        write_obsmat(make_scene(scene, n_agents=30, seed=1), om)
+        counts[scene] = scene_npz(om, os.path.join(out,
+                                                   f"{scene}-8-12.npz"))
+    B = min(counts.values())
+    for scene in SCENES:
+        scene_npz(os.path.join(out, f"obsmat_{scene}.txt"),
+                  os.path.join(out, f"{scene}-8-12.npz"), trim_batches=B)
+    return out, B
+
+
+def test_obsmat_roundtrip_through_production_parser(tmp_path):
+    """Synthetic obsmat rows parse through BIWIParser into full windows."""
+    out, B = _tiny_scenes(tmp_path)
+    d = np.load(os.path.join(out, "eth-8-12.npz"))
+    assert d["obsvs"].shape[1:] == (8, 2)
+    assert d["preds"].shape[1:] == (12, 2)
+    assert len(d["batches"]) == B > 5
+    # windows are contiguous position sequences (velocities sane)
+    step = np.diff(np.concatenate([d["obsvs"], d["preds"]], axis=1), axis=1)
+    assert np.abs(step).max() < 2.0          # < 2 m per 0.4 s
+
+
+def test_fold_puts_heldout_exactly_in_reference_test_split(tmp_path):
+    out, B = _tiny_scenes(tmp_path)
+    files = [os.path.join(out, f"{s}-8-12.npz") for s in SCENES]
+    fold = os.path.join(out, "fold_eth.npz")
+    info = merge_fold(files[1:], files[0], fold)
+    d = np.load(fold)
+    n_batches = len(d["batches"])
+    # the reference's split boundary (train.py:95-98)
+    train_size = (n_batches * 4) // 5
+    assert train_size == 4 * info["batches_per_scene"]
+    assert int(d["batches"][train_size - 1][1]) == info["n_train_samples"]
+
+
+def test_merge_scenes_equals_fold_npz(tmp_path):
+    """Our LOO runner's merge == the reference-protocol merged npz,
+    bit for bit (multi-scene normalization semantics, VERDICT r1 w3)."""
+    from socialways_tpu.data.dataset import load_npz_dataset
+    from socialways_tpu.engine.ethucy import merge_scenes
+
+    out, _ = _tiny_scenes(tmp_path)
+    files = [os.path.join(out, f"{s}-8-12.npz") for s in SCENES]
+    fold = os.path.join(out, "fold_zara2.npz")
+    merge_fold(files[:-1], files[-1], fold)
+
+    ds_a = merge_scenes(files[:-1], files[-1])
+    ds_b = load_npz_dataset(fold)
+    assert ds_a.train_size == ds_b.train_size
+    np.testing.assert_array_equal(ds_a.obsvs, ds_b.obsvs)
+    np.testing.assert_array_equal(ds_a.preds, ds_b.preds)
+    np.testing.assert_array_equal(np.asarray(ds_a.batches),
+                                  np.asarray(ds_b.batches))
+    assert abs(ds_a.ss - ds_b.ss) < 1e-12
