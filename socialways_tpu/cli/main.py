@@ -120,6 +120,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default="",
                    help="write jax.profiler device traces for the first "
                         "post-compile epoch to this directory")
+    p.add_argument("--serial-rollout", action="store_true",
+                   help="do not hold the G-rollout backward residuals "
+                        "across the D phase (recompute the rollout for "
+                        "the G grad): ~2x rollout compute, peak HBM = "
+                        "max of phases — for the largest one-chip crowd "
+                        "training sizes")
     p.add_argument("--remat-steps", action="store_true",
                    help="rematerialize LSTM/decode steps in training "
                         "(crowd-scale memory saver, needed above ~262k "
@@ -198,6 +204,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         g_ema_decay=getattr(args, "g_ema_decay", 0.0),
         max_scene_size=getattr(args, "max_scene_size", 0),
         remat_steps=getattr(args, "remat_steps", False),
+        serial_rollout=getattr(args, "serial_rollout", False),
         compute_dtype="bfloat16" if getattr(args, "bf16", False)
         else "float32",
     )

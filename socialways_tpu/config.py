@@ -141,6 +141,15 @@ class TrainConfig:
     # the scan carries — the lever for crowd-scale training (required
     # above ~262k agents/chip); a few % slower below, so off by default.
     remat_steps: bool = False
+    # do NOT share one rollout vjp between the D and G phases: the D phase
+    # sees a forward-only (residual-free) rollout and the G phase
+    # recomputes the rollout under grad AFTER the D phase finishes, so the
+    # rollout's backward residuals and the D phase's residuals are never
+    # live together.  ~2x rollout compute per step, but peak HBM becomes
+    # max(D residuals, G residuals) instead of their sum — the lever for
+    # the largest one-chip crowd TRAINING sizes (with remat_steps +
+    # max_scene_size).  Off by default (the shared-vjp form is faster).
+    serial_rollout: bool = False
     # static bound on rows-per-scene (scene ids sorted + contiguous).
     # >0 unlocks the windowed O(N·max_scene) attention above the fused
     # kernel's VMEM cap — linear in N, the path to million-agent crowds.

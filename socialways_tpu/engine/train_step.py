@@ -218,8 +218,10 @@ def gan_step(
     # phase and the pullback for the G gradient, so the 20-step
     # encode+decode scan runs ONCE per step instead of twice.  (The
     # variety loss needs grads through k extra rollouts, so that path
-    # keeps the plain value_and_grad form.)
-    if cfg.use_variety_loss:
+    # keeps the plain value_and_grad form; serial_rollout opts out of the
+    # sharing so the rollout's backward residuals are not held live
+    # across the D phase — see config.serial_rollout.)
+    if cfg.use_variety_loss or cfg.serial_rollout:
         pred_hat_fwd, rollout_vjp = rollout(state.g_params, noise), None
     else:
         pred_hat_fwd, rollout_vjp = jax.vjp(

@@ -584,3 +584,28 @@ def test_d_update_ratio_warmup_schedule():
         changed.append(d_delta > 0)
         state = new_state
     assert changed == [True, True, True, False]
+
+
+def test_serial_rollout_matches_shared_vjp():
+    """--serial-rollout recomputes the rollout instead of sharing one vjp;
+    the step must be value-identical (same noise, same pre-update G)."""
+    import jax
+    from socialways_tpu.engine.train_step import gan_step, init_train_state
+
+    cfg = CFG.replace(n_unrolling_steps=1)
+    cfg_s = cfg.replace(serial_rollout=True)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch(key=3)
+    rng = jax.random.PRNGKey(5)
+
+    s_a, m_a = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+    s_b, m_b = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_s))(
+        state, batch, rng)
+
+    np.testing.assert_allclose(float(m_a.g_loss), float(m_b.g_loss),
+                               rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s_a.g_params, s_b.g_params)
