@@ -37,6 +37,14 @@ RECIPES = {
     "dwarm": ["--d-update-every-end", "2", "--d-update-every-switch",
               "20000"],
     "ema+warmup": ["--g-ema-decay", "0.999", "--lr-warmup-steps", "2000"],
+    # hard-divergence stoppers (the base recipe's late collapse)
+    "ema+rec": ["--g-ema-decay", "0.999", "--auto-recover"],
+    "ddecay": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000"],
+    "ema+ddecay": ["--g-ema-decay", "0.999", "--d-lr-decay-rate", "0.7",
+                   "--d-lr-decay-steps", "10000"],
+    "ema+ddecay+rec": ["--g-ema-decay", "0.999", "--d-lr-decay-rate",
+                       "0.7", "--d-lr-decay-steps", "10000",
+                       "--auto-recover"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",
