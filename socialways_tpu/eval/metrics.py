@@ -30,11 +30,17 @@ class EvalSums(NamedTuple):
 
 def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
                      scene_ids: jnp.ndarray, rng: jax.Array, k: int,
-                     cfg: TrainConfig) -> jnp.ndarray:
+                     cfg: TrainConfig, axis_name: str | None = None,
+                     axis_size: int = 1) -> jnp.ndarray:
     """K stochastic rollouts: [K, N, n_next, 4].
 
     The observation encoding and social pooling are noise-independent, so
-    they run once; only the autoregressive decode is vmapped over K."""
+    they run once; only the autoregressive decode is vmapped over K.
+
+    Under ``shard_map`` pass ``axis_name``/``axis_size``: each shard draws
+    the GLOBAL batch's noise and keeps its own rows, so sharded eval
+    consumes exactly the single-device noise stream (same scheme as
+    gan_step)."""
     from socialways_tpu.models.generator import decode_rollout, prepare_rollout
 
     n = obsv.shape[0]
@@ -44,12 +50,18 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
             lambda x: x.astype(cdt)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
         obsv = obsv.astype(cdt)
+    n_glob = n * axis_size
     if cfg.latent_code_type == "categorical" or cfg.noise_dist != "uniform":
         from socialways_tpu.engine.losses import sample_noise
-        noise_k = jax.vmap(lambda kk: sample_noise(kk, n, cfg, obsv.dtype))(
+        noise_k = jax.vmap(
+            lambda kk: sample_noise(kk, n_glob, cfg, obsv.dtype))(
             jax.random.split(rng, k))
     else:   # exact reference noise stream (train.py:583-585)
-        noise_k = jax.random.uniform(rng, (k, n, cfg.noise_len), obsv.dtype)
+        noise_k = jax.random.uniform(rng, (k, n_glob, cfg.noise_len),
+                                     obsv.dtype)
+    if axis_name is not None:
+        row0 = jax.lax.axis_index(axis_name) * n
+        noise_k = jax.lax.dynamic_slice_in_dim(noise_k, row0, n, axis=1)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas, cfg.max_scene_size)
     if cfg.pallas_decode and cfg.decoder == "fc" \
@@ -78,12 +90,14 @@ def k_sample_errors(pred_hat_k: jnp.ndarray, pred: jnp.ndarray
 
 
 def eval_chunk(g_params: Dict, batch: Dict[str, jnp.ndarray], rng: jax.Array,
-               k: int, cfg: TrainConfig) -> EvalSums:
+               k: int, cfg: TrainConfig, axis_name: str | None = None,
+               axis_size: int = 1) -> EvalSums:
     """Min-of-K / avg-of-K ADE & FDE sums over one padded chunk
     (train.py:602-607 semantics)."""
     valid = batch["valid"]
     pred_hat_k = k_sample_rollout(g_params, batch["obsvs"],
-                                  batch["scene_ids"], rng, k, cfg)
+                                  batch["scene_ids"], rng, k, cfg,
+                                  axis_name, axis_size)
     err = k_sample_errors(pred_hat_k, batch["preds"])      # [K, N, T]
 
     ade_per_k = jnp.mean(err, axis=-1)                     # [K, N]

@@ -132,11 +132,14 @@ def make_dp_epochs_fn(cfg: TrainConfig, mesh: Mesh):
 
 def make_dp_eval_chunk(cfg: TrainConfig, mesh: Mesh, k: int):
     """Data-parallel K-sample eval: batch rows sharded over ``data``; each
-    device evaluates its local rows under all K draws; sums are psum'd."""
+    device evaluates its local rows under all K draws (slicing its rows of
+    the GLOBAL noise draw, so sharded eval == single-device eval exactly);
+    sums are psum'd."""
+    n_dev = mesh.devices.size
 
     def _eval(g_params, batch, rng):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        sums = eval_chunk(g_params, batch, rng, k, cfg)
+        sums = eval_chunk(g_params, batch, rng, k, cfg,
+                          axis_name=DATA_AXIS, axis_size=n_dev)
         return EvalSums(*(jax.lax.psum(s, DATA_AXIS) for s in sums))
 
     fn = shard_map(_eval, mesh=mesh,

@@ -394,3 +394,22 @@ def test_mesh_trainer_end_to_end(toy_npz, mesh):
 
     state, m1 = tr.train_epoch(state, jax.random.PRNGKey(2))
     assert np.isfinite(m1["g_loss"])
+
+
+def test_dp_eval_matches_single_device_exactly(mesh):
+    """Sharded K-sample eval slices the global noise draw, so its sums
+    equal the single-device eval_chunk on the same global batch."""
+    from socialways_tpu.eval.metrics import eval_chunk
+
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = _global_batch(8, key=9)
+    rng = jax.random.PRNGKey(21)
+
+    ev = make_dp_eval_chunk(CFG, mesh, k=4)
+    dp = ev(state.g_params, batch, rng)
+    sd = jax.jit(lambda p, b, r: eval_chunk(p, b, r, 4, CFG))(
+        state.g_params, batch, rng)
+
+    assert int(dp.n_samples) == int(sd.n_samples) == 64
+    for a, b in zip(dp[:4], sd[:4]):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
