@@ -45,6 +45,12 @@ RECIPES = {
     "ema+ddecay+rec": ["--g-ema-decay", "0.999", "--d-lr-decay-rate",
                        "0.7", "--d-lr-decay-steps", "10000",
                        "--auto-recover"],
+    "ddecay15": ["--d-lr-decay-rate", "0.75", "--d-lr-decay-steps",
+                 "15000"],
+    "ddecay+info1": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                     "10000", "--info-weight", "1.0"],
+    "ddecay+rec": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                   "10000", "--auto-recover"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",
@@ -57,6 +63,10 @@ TOYS = {
     "big": ["--n_conditions", "8", "--n_samples", "768",
             "--n_per_batch", "8"],
 }
+# steps/epoch differs per toy (1 vs 3 chunks): --epochs is interpreted as
+# TARGET GAN STEPS and divided by the chunk count so the arms are
+# iteration-matched across toys (round-1 sweeps counted iterations)
+CHUNKS_PER_EPOCH = {"small": 1, "big": 3}
 
 _COV_RE = re.compile(r"mode coverage = ([\d.]+)")
 _ADE_RE = re.compile(r"Min\(20\) ADE,FDE \(\d+\)= \(([\d.]+), ([\d.]+)\)")
@@ -111,10 +121,11 @@ def main():
     results = {"epochs": args.epochs}
     for toy in args.toys.split(","):
         npz = ensure_toy(toy, workdir)
+        epochs = args.epochs // CHUNKS_PER_EPOCH[toy]
         for recipe in args.recipes.split(","):
             for seed in [int(s) for s in args.seeds.split(",")]:
                 key = f"{toy}/{recipe}/seed{seed}"
-                results[key] = run_one(npz, recipe, seed, args.epochs,
+                results[key] = run_one(npz, recipe, seed, epochs,
                                        workdir)
                 print(key, results[key], flush=True)
                 if args.out:
