@@ -83,8 +83,11 @@ def ensure_toy(kind: str, workdir: str) -> str:
 
 def run_one(toy_npz: str, recipe: str, seed: int, epochs: int,
             workdir: str) -> dict:
-    model_dir = os.path.join(workdir, f"m_{recipe}_{seed}_"
+    import shutil
+    model_dir = os.path.join(workdir, f"m_{recipe}_{seed}_{epochs}_"
                              f"{os.path.basename(toy_npz)}")
+    # a leftover checkpoint would auto-resume and skip the whole run
+    shutil.rmtree(model_dir, ignore_errors=True)
     cmd = [sys.executable, "-m", "socialways_tpu.cli.main", "train",
            "--data", toy_npz, "--epochs", str(epochs),
            "--seed", str(seed), "--model-dir", model_dir,
