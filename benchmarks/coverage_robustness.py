@@ -51,6 +51,10 @@ RECIPES = {
                      "10000", "--info-weight", "1.0"],
     "ddecay+rec": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
                    "10000", "--auto-recover"],
+    # denser eval/rescue cadence + stronger mode pressure
+    "robust1": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+                "--auto-recover", "--block-size", "1000",
+                "--info-weight", "1.0"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",
