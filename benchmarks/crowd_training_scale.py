@@ -33,7 +33,12 @@ def bench_size(n: int, args) -> dict:
         n_past=8, n_next=12, n_unrolling_steps=args.unroll,
         use_social=True, max_scene_size=args.max_scene_size,
         remat_steps=args.remat_steps, serial_rollout=args.serial_rollout,
+        grad_accum=args.grad_accum,
         compute_dtype="bfloat16" if args.bf16 else "float32")
+    if args.grad_accum > 1:
+        chunk_rows = n // args.grad_accum
+        assert chunk_rows % max(args.max_scene_size, 1) == 0, (
+            "micro-chunks must align to scene boundaries")
     state = init_train_state(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.RandomState(0)
@@ -89,6 +94,7 @@ def main():
     ap.add_argument("--max-scene-size", type=int, default=64)
     ap.add_argument("--remat-steps", action="store_true")
     ap.add_argument("--serial-rollout", action="store_true")
+    ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--steps", type=int, default=3)

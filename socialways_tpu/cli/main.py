@@ -130,6 +130,14 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="rematerialize LSTM/decode steps in training "
                         "(crowd-scale memory saver, needed above ~262k "
                         "agents/chip; slightly slower below)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="exact gradient accumulation over N micro-chunks "
+                        "per step (valid-share-weighted; equals the "
+                        "full-batch gradient). Peak HBM shrinks to one "
+                        "chunk's residuals — the lever past the 524k "
+                        "one-chip crowd-training wall. Batch rows must "
+                        "divide by N and (with --use-social) scene "
+                        "boundaries must align to chunk boundaries")
     p.add_argument("--max-scene-size", type=int, default=0,
                    help="static bound on agents-per-scene (ids sorted + "
                         "contiguous): unlocks the windowed O(N*max_scene) "
@@ -205,6 +213,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         max_scene_size=getattr(args, "max_scene_size", 0),
         remat_steps=getattr(args, "remat_steps", False),
         serial_rollout=getattr(args, "serial_rollout", False),
+        grad_accum=getattr(args, "grad_accum", 1),
         compute_dtype="bfloat16" if getattr(args, "bf16", False)
         else "float32",
     )

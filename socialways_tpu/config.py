@@ -155,6 +155,20 @@ class TrainConfig:
     # kernel's VMEM cap — linear in N, the path to million-agent crowds.
     # 0 = unknown (falls back to the O(N²) blockwise stream at scale).
     max_scene_size: int = 0
+    # exact gradient accumulation: split the batch's rows into grad_accum
+    # equal micro-chunks and lax.scan the D/G loss gradients over them,
+    # weighting each chunk's gradient by its valid-row share — bit-for-math
+    # equal (up to float reassociation) to the full-batch masked-mean
+    # gradient, but peak HBM residuals shrink to ONE chunk's (XLA frees
+    # each scan iteration's vjp residuals) — the lever past the 524k
+    # one-chip crowd-training wall.  Requires batch rows divisible by
+    # grad_accum and scene boundaries aligned to chunk boundaries (social
+    # attention never crosses chunks; uniform-scene crowd batches satisfy
+    # this when rows/grad_accum is a multiple of the scene size).  Implies
+    # serial-rollout semantics (the fake rollout runs forward-only for the
+    # D phase and is recomputed under grad per chunk in the G phase).
+    # 1 = off (reference parity path).
+    grad_accum: int = 1
     mesh_shape: Optional[int] = None  # devices on the 'data' axis (None = all)
     epoch_on_device: bool = True      # lax.scan over packed batches
 

@@ -204,13 +204,57 @@ def gan_step(
 
     obsv_4d, pred_4d = get_traj_4d(obsv, pred)
 
-    def rollout(g_params, z):
-        out = generator_rollout(cast(g_params), cast(obsv), cast(z),
-                                cfg.n_next, scene_ids, cfg.use_social,
+    def rollout_on(g_params, obsv_, z, sids):
+        out = generator_rollout(cast(g_params), cast(obsv_), cast(z),
+                                cfg.n_next, sids, cfg.use_social,
                                 cfg.decoder, cfg.use_pallas,
                                 cfg.pallas_decode, cfg.max_scene_size,
                                 cfg.remat_steps)
         return out.astype(dtype)
+
+    def rollout(g_params, z):
+        return rollout_on(g_params, obsv, z, scene_ids)
+
+    # ---- exact gradient accumulation (cfg.grad_accum > 1) ----------------
+    # rows are split into equal micro-chunks; each phase's gradient is a
+    # lax.scan over chunks accumulating w_c * grad_c with w_c = the chunk's
+    # share of valid rows — identical (up to reassociation) to the
+    # full-batch masked-mean gradient, while only one chunk's vjp
+    # residuals are ever live.  See config.grad_accum for the alignment
+    # contract (scenes must not cross chunk boundaries).
+    accum = cfg.grad_accum > 1
+    if accum:
+        if cfg.use_variety_loss:
+            raise ValueError("grad_accum>1 does not support the variety "
+                             "loss (each chunk would re-draw K rollouts)")
+        if n % cfg.grad_accum:
+            raise ValueError(f"batch rows {n} not divisible by "
+                             f"grad_accum {cfg.grad_accum}")
+        n_chunk = n // cfg.grad_accum
+
+        def chunk(t):
+            return t.reshape((cfg.grad_accum, n_chunk) + t.shape[1:])
+
+        mb = {"obsv": chunk(obsv), "pred_4d": chunk(pred_4d),
+              "obsv_4d": chunk(obsv_4d), "noise": chunk(noise),
+              "scene_ids": chunk(scene_ids), "valid": chunk(valid),
+              "zeros": chunk(zeros_t), "ones": chunk(ones_t),
+              "pred": chunk(pred)}
+        chunk_w = (jnp.sum(mb["valid"], axis=1).astype(dtype)
+                   / jnp.maximum(jnp.sum(valid), 1).astype(dtype))
+
+        def _accum_value_and_grad(chunk_loss_fn, params):
+            """(Σ w_c·loss_c, Σ w_c·grad_c) via a scan over micro-chunks."""
+            def body(carry, xs):
+                cb, w = xs
+                l_c, g_c = jax.value_and_grad(chunk_loss_fn)(params, cb)
+                return (carry[0] + w * l_c,
+                        jax.tree_util.tree_map(
+                            lambda a, g: a + w * g, carry[1], g_c)), None
+            init = (jnp.zeros((), dtype),
+                    jax.tree_util.tree_map(jnp.zeros_like, params))
+            (loss, grads), _ = jax.lax.scan(body, init, (mb, chunk_w))
+            return loss, grads
 
     # fake rollout — same value every unroll iteration AND in the G step
     # (same noise, same pre-update G; the reference recomputed it 3×,
@@ -221,7 +265,17 @@ def gan_step(
     # keeps the plain value_and_grad form; serial_rollout opts out of the
     # sharing so the rollout's backward residuals are not held live
     # across the D phase — see config.serial_rollout.)
-    if cfg.use_variety_loss or cfg.serial_rollout:
+    if accum:
+        # forward-only per-chunk map (a scan — no residuals kept); the G
+        # phase recomputes each chunk's rollout under grad, so accumulation
+        # implies serial-rollout memory behavior
+        pred_hat_c = jax.lax.map(
+            lambda cb: rollout_on(state.g_params, cb["obsv"], cb["noise"],
+                                  cb["scene_ids"]), mb)
+        mb["pred_hat"] = jax.lax.stop_gradient(pred_hat_c)
+        pred_hat_fwd = pred_hat_c.reshape((n,) + pred_hat_c.shape[2:])
+        rollout_vjp = None
+    elif cfg.use_variety_loss or cfg.serial_rollout:
         pred_hat_fwd, rollout_vjp = rollout(state.g_params, noise), None
     else:
         pred_hat_fwd, rollout_vjp = jax.vjp(
@@ -235,38 +289,64 @@ def gan_step(
     from socialways_tpu.models.discriminator import (discriminator_heads,
                                                      encode_obsv)
 
-    def d_loss_fn(d_params):
+    def _d_loss_parts(d_params, obsv_4d_, pred_hat_, pred_4d_, noise_,
+                      valid_, zeros_, ones_):
+        nn = obsv_4d_.shape[0]
         dp = cast(d_params)
-        obsv_code = encode_obsv(dp, cast(obsv_4d), cfg.remat_steps)
+        obsv_code = encode_obsv(dp, cast(obsv_4d_), cfg.remat_steps)
         labels, codes = discriminator_heads(
             dp, obsv_code,
-            cast(jnp.concatenate([pred_hat_4d_d, pred_4d], axis=0)))
+            cast(jnp.concatenate([pred_hat_, pred_4d_], axis=0)))
         labels, codes = labels.astype(dtype), codes.astype(dtype)
-        fake_label, real_label = labels[:n], labels[n:]
-        fake_code = codes[:n]
-        loss = lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
-                            zeros_t, ones_t, cfg.use_info_loss,
+        fake_label, real_label = labels[:nn], labels[nn:]
+        fake_code = codes[:nn]
+        loss = lsgan_d_loss(fake_label, real_label, fake_code, noise_,
+                            valid_, zeros_, ones_, cfg.use_info_loss,
                             cfg.loss_info_w, cfg.n_latent_codes,
                             cfg.latent_code_type)
         if cfg.r1_gamma > 0:
             # R1: penalize ‖∇_pred D(obsv, pred_real)‖² (second-order grads
-            # flow through this when d_loss_fn is differentiated)
+            # flow through this when the loss is differentiated)
             def real_label_sum(p4):
                 lbl, _ = discriminator_heads(dp, obsv_code, cast(p4))
-                return jnp.sum(lbl.astype(dtype) * valid[:, None])
-            g_real = jax.grad(real_label_sum)(pred_4d)
-            per = jnp.sum(g_real.reshape(n, -1) ** 2, axis=-1)
-            r1 = jnp.sum(jnp.where(valid, per, 0.0)) / jnp.maximum(
-                jnp.sum(valid), 1)
+                return jnp.sum(lbl.astype(dtype) * valid_[:, None])
+            g_real = jax.grad(real_label_sum)(pred_4d_)
+            per = jnp.sum(g_real.reshape(nn, -1) ** 2, axis=-1)
+            r1 = jnp.sum(jnp.where(valid_, per, 0.0)) / jnp.maximum(
+                jnp.sum(valid_), 1)
             loss = loss + 0.5 * cfg.r1_gamma * r1
         return loss
+
+    def d_loss_fn(d_params):
+        return _d_loss_parts(d_params, obsv_4d, pred_hat_4d_d, pred_4d,
+                             noise, valid, zeros_t, ones_t)
+
+    def _d_chunk_loss(d_params, cb):
+        return _d_loss_parts(d_params, cb["obsv_4d"], cb["pred_hat"],
+                             cb["pred_4d"], cb["noise"], cb["valid"],
+                             cb["zeros"], cb["ones"])
+
+    if accum:
+        def d_value_and_grad(d_params):
+            return _accum_value_and_grad(_d_chunk_loss, d_params)
+
+        def d_loss_value(d_params):
+            def body(c, xs):
+                cb, w = xs
+                return c + w * _d_chunk_loss(d_params, cb), None
+            loss, _ = jax.lax.scan(body, jnp.zeros((), dtype),
+                                   (mb, chunk_w))
+            return loss
+    else:
+        d_value_and_grad = jax.value_and_grad(d_loss_fn)
+        d_loss_value = d_loss_fn
 
     def d_phase(_):
         d_params, d_opt = state.d_params, state.d_opt
         d_backup = state.d_params
         d_loss_first = jnp.zeros((), obsv.dtype)
         for u in range(cfg.n_unrolling_steps + 1):
-            d_loss_u, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            d_loss_u, d_grads = d_value_and_grad(d_params)
             d_grads = _sync_grads(d_grads)
             updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
@@ -298,7 +378,7 @@ def gan_step(
         d_params, d_opt, d_backup, d_loss_first = jax.lax.cond(
             do_d, d_phase,
             lambda _: (state.d_params, state.d_opt, state.d_params,
-                       d_loss_fn(state.d_params)),
+                       d_loss_value(state.d_params)),
             operand=None)
     else:
         d_params, d_opt, d_backup, d_loss_first = d_phase(None)
@@ -329,7 +409,27 @@ def gan_step(
                 pred_k[..., :2], pred, valid)
         return loss
 
-    if rollout_vjp is not None:
+    if accum:
+        def _g_chunk_loss(g_params, cb):
+            ph = rollout_on(g_params, cb["obsv"], cb["noise"],
+                            cb["scene_ids"])
+            gen_label, gen_code = discriminator_apply(
+                cast(d_params), cast(cb["obsv_4d"]), cast(ph),
+                cfg.remat_steps)
+            loss = lsgan_g_loss(gen_label.astype(dtype),
+                                gen_code.astype(dtype), cb["noise"],
+                                cb["valid"], cb["ones"], cfg.use_info_loss,
+                                cfg.loss_info_w, cfg.n_latent_codes,
+                                cfg.latent_code_type)
+            if cfg.use_l2_loss:
+                loss = loss + cfg.loss_l2_w * l2_traj_loss(
+                    ph[..., :2], cb["pred"], cb["valid"])
+            return loss
+
+        g_loss, g_grads = _accum_value_and_grad(_g_chunk_loss,
+                                                state.g_params)
+        pred_hat_4d = pred_hat_fwd
+    elif rollout_vjp is not None:
         # d(loss)/d(pred_hat) through the D heads, then pull back through
         # the saved rollout — chain rule split, bit-for-math-equal to
         # differentiating the recomputed composite

@@ -609,3 +609,48 @@ def test_serial_rollout_matches_shared_vjp():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         s_a.g_params, s_b.g_params)
+
+
+@pytest.mark.parametrize("use_social,n_valid", [(True, 8), (False, 6)])
+def test_grad_accum_matches_full_batch(use_social, n_valid):
+    """grad_accum chunks the D/G gradients over micro-batches with
+    valid-share weighting — the update must equal the full-batch step up
+    to float reassociation (masked means are linear in per-chunk sums).
+    Scene layout: _batch sorts scene ids descending, so with n_scenes=2
+    and chunks of 4 the social case is scene-aligned; the padded case
+    runs social-off (no cross-sample interaction, alignment not
+    required)."""
+    cfg = CFG.replace(n_unrolling_steps=2, use_social=use_social,
+                      use_l2_loss=True)
+    cfg_a = cfg.replace(grad_accum=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch(n=8, n_scenes=2, n_valid=n_valid, key=11)
+    rng = jax.random.PRNGKey(6)
+
+    s_full, m_full = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+    s_acc, m_acc = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_a))(
+        state, batch, rng)
+
+    np.testing.assert_allclose(float(m_acc.g_loss), float(m_full.g_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_acc.d_loss), float(m_full.d_loss),
+                               rtol=1e-5)
+    assert int(m_acc.n_samples) == int(m_full.n_samples) == n_valid
+    for tree_a, tree_b in ((s_acc.g_params, s_full.g_params),
+                           (s_acc.d_params, s_full.d_params)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            tree_a, tree_b)
+
+
+def test_grad_accum_rejects_bad_shapes():
+    cfg = CFG.replace(grad_accum=3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="divisible"):
+        gan_step(state, _batch(n=8), jax.random.PRNGKey(1), cfg)
+    cfg_v = CFG.replace(grad_accum=2, use_variety_loss=True)
+    state_v = init_train_state(jax.random.PRNGKey(0), cfg_v)
+    with pytest.raises(ValueError, match="variety"):
+        gan_step(state_v, _batch(n=8), jax.random.PRNGKey(1), cfg_v)
