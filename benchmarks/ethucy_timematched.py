@@ -1,0 +1,102 @@
+"""Time-matched deep-fold quality: what does OUR framework reach in a
+fraction of the reference's wall-clock on the same fold?
+
+The protocol-parity deep fold (benchmarks/ethucy_parity.py, hotel,
+3000 epochs = 33k steps) cost the reference 81 min of wall time for
+min-20 ADE/FDE 0.731/1.370.  This driver trains OUR engine on the SAME
+fold npz for many more steps in a small slice of that wall budget
+(fused epoch blocks; eval every block; best + final tracked) — the
+throughput advantage (~530x) converted into quality-per-wall-clock.
+
+Usage:
+    python benchmarks/ethucy_timematched.py --dir /tmp/synth_ethucy \
+        --fold hotel --epochs 30000 --block 500 --out result.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+from benchmarks.ethucy_parity import prepare_folds  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/synth_ethucy")
+    ap.add_argument("--fold", default="hotel")
+    ap.add_argument("--epochs", type=int, default=30000)
+    ap.add_argument("--block", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.data.dataset import load_npz_dataset
+    from socialways_tpu.engine.trainer import Trainer
+
+    folds = prepare_folds(args.dir)
+    fold_npz = folds[args.fold]["npz"]
+
+    cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed)
+    ds = load_npz_dataset(fold_npz)
+    trainer = Trainer(cfg, ds)
+    state = trainer.init_state()
+    rng = jax.random.PRNGKey(args.seed)
+
+    best = {"ade_min20": float("inf"), "fde_min20": float("inf"),
+            "at_epoch": 0}
+    curve = []
+    train_s = 0.0
+    done = 0
+    tic_total = time.perf_counter()
+    while done < args.epochs:
+        block = min(args.block, args.epochs - done)
+        rng, sub = jax.random.split(rng)
+        tic = time.perf_counter()
+        state, m = trainer.train_epochs(state, sub, block)
+        jax.block_until_ready(state.g_params)
+        train_s += time.perf_counter() - tic
+        done += block
+        rng, sub = jax.random.split(rng)
+        ev = trainer.evaluate(state, sub, n_gen_samples=20)
+        curve.append({"epoch": done, "ade_min20": round(ev["ade_min"], 4),
+                      "fde_min20": round(ev["fde_min"], 4)})
+        if ev["ade_min"] < best["ade_min20"]:
+            best = {"ade_min20": round(ev["ade_min"], 4),
+                    "fde_min20": round(ev["fde_min"], 4),
+                    "at_epoch": done}
+        print(curve[-1], flush=True)
+
+    total_s = time.perf_counter() - tic_total
+    result = {
+        "fold": args.fold, "epochs": args.epochs,
+        "steps": trainer.n_steps_per_epoch * args.epochs,
+        "best": best, "final": curve[-1],
+        "train_time_s": round(train_s, 1),
+        "total_wall_s": round(total_s, 1),
+        "reference_comparison": {
+            "note": "same fold npz; reference @3000 epochs (33k steps) = "
+                    "0.731/1.370 min-20 ADE/FDE in 81 min wall "
+                    "(benchmarks/ethucy_loo_parity.json deep fold)",
+            "reference_wall_s": 4860,
+        },
+        "curve": curve,
+    }
+    print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
