@@ -32,20 +32,47 @@ from benchmarks.ethucy_parity import prepare_folds  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/synth_ethucy")
-    ap.add_argument("--fold", default="hotel")
+    ap.add_argument("--fold", default="hotel",
+                    help="fold name, or 'all' for the full LOO protocol")
     ap.add_argument("--epochs", type=int, default=30000)
     ap.add_argument("--block", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
+    folds = prepare_folds(args.dir)
+    if args.fold == "all":
+        from benchmarks.synth_ethucy import SCENES
+        fold_results = {name: run_fold(folds[name]["npz"], name, args)
+                        for name in SCENES}
+        all_results = {name: {k: v for k, v in r.items() if k != "curve"}
+                       for name, r in fold_results.items()}
+        for name in SCENES:
+            print(json.dumps({name: all_results[name]}), flush=True)
+        bests = [r["best"] for r in fold_results.values()]
+        all_results["avg_best_ade_min20"] = round(float(np.mean(
+            [b["ade_min20"] for b in bests])), 4)
+        all_results["avg_best_fde_min20"] = round(float(np.mean(
+            [b["fde_min20"] for b in bests])), 4)
+        print(json.dumps({"avg_best": [all_results["avg_best_ade_min20"],
+                                       all_results["avg_best_fde_min20"]]}))
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(all_results, fh, indent=1)
+        return
+
+    result = run_fold(folds[args.fold]["npz"], args.fold, args)
+    print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+
+
+def run_fold(fold_npz: str, fold_name: str, args) -> dict:
     import jax
     from socialways_tpu.config import TrainConfig
     from socialways_tpu.data.dataset import load_npz_dataset
     from socialways_tpu.engine.trainer import Trainer
-
-    folds = prepare_folds(args.dir)
-    fold_npz = folds[args.fold]["npz"]
 
     cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed)
     ds = load_npz_dataset(fold_npz)
@@ -64,7 +91,8 @@ def main():
         rng, sub = jax.random.split(rng)
         tic = time.perf_counter()
         state, m = trainer.train_epochs(state, sub, block)
-        jax.block_until_ready(state.g_params)
+        # train_epochs' float(metrics) forces the host transfer that
+        # actually syncs on axon (block_until_ready returns early there)
         train_s += time.perf_counter() - tic
         done += block
         rng, sub = jax.random.split(rng)
@@ -78,24 +106,20 @@ def main():
         print(curve[-1], flush=True)
 
     total_s = time.perf_counter() - tic_total
-    result = {
-        "fold": args.fold, "epochs": args.epochs,
+    return {
+        "fold": fold_name, "epochs": args.epochs,
         "steps": trainer.n_steps_per_epoch * args.epochs,
         "best": best, "final": curve[-1],
         "train_time_s": round(train_s, 1),
         "total_wall_s": round(total_s, 1),
         "reference_comparison": {
-            "note": "same fold npz; reference @3000 epochs (33k steps) = "
-                    "0.731/1.370 min-20 ADE/FDE in 81 min wall "
+            "note": "same fold npz; reference hotel @3000 epochs (33k "
+                    "steps) = 0.731/1.370 min-20 ADE/FDE in 81 min wall "
                     "(benchmarks/ethucy_loo_parity.json deep fold)",
             "reference_wall_s": 4860,
         },
         "curve": curve,
     }
-    print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
-    if args.out:
-        with open(args.out, "w") as fh:
-            json.dump(result, fh, indent=1)
 
 
 if __name__ == "__main__":

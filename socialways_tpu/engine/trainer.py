@@ -17,6 +17,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from socialways_tpu.config import TrainConfig
 from socialways_tpu.data.dataset import (
@@ -47,6 +48,35 @@ def _chunk(batches: Dict[str, jnp.ndarray], i) -> Dict[str, jnp.ndarray]:
     return {k: v[i] for k, v in batches.items()}
 
 
+def _check_grad_accum_alignment(packed: PackedBatches, grad_accum: int,
+                                use_social: bool) -> None:
+    """Validate config.grad_accum's contract on concrete packed data:
+    chunk width divides evenly, and (social only — the one case where
+    rows interact) no scene crosses a micro-chunk boundary.  Host-side
+    numpy on the pack-time ids; gan_step itself cannot check traced
+    values."""
+    width = packed.scene_ids.shape[1]
+    if width % grad_accum:
+        raise ValueError(
+            f"packed chunk width {width} is not divisible by "
+            f"grad_accum={grad_accum}; pick a divisor of the width "
+            "(= max(batch_size, largest scene group))")
+    if not use_social:
+        return
+    sub = width // grad_accum
+    for b in range(sub, width, sub):
+        left, right = packed.scene_ids[:, b - 1], packed.scene_ids[:, b]
+        bad = (left == right) & (right != -1)
+        if bad.any():
+            ci = int(np.argmax(bad))
+            raise ValueError(
+                f"grad_accum={grad_accum} splits scene "
+                f"{int(right[ci])} of packed chunk {ci} at row {b}: "
+                "social attention must not cross micro-chunk boundaries "
+                "(re-pack with scene-aligned widths or use a smaller "
+                "grad_accum)")
+
+
 class Trainer:
     """Owns packed train/test data on device plus the compiled programs.
 
@@ -68,6 +98,9 @@ class Trainer:
         self.train_packed = pack_scene_batches(
             dataset.obsvs[:nt], dataset.preds[:nt], dataset.train_batches,
             cfg.batch_size, pad_chunks_to=pad_chunks_to)
+        if cfg.grad_accum > 1:
+            _check_grad_accum_alignment(self.train_packed, cfg.grad_accum,
+                                        cfg.use_social)
         if len(dataset.test_batches):
             test_batches = dataset.test_batches - dataset.test_batches[0][0]
             self.test_packed = pack_scene_batches(

@@ -645,6 +645,36 @@ def test_grad_accum_matches_full_batch(use_social, n_valid):
             tree_a, tree_b)
 
 
+def test_grad_accum_alignment_check():
+    """Trainer validates (host-side, at pack time) that social micro-chunks
+    never split a scene; padding (-1) at a boundary is fine."""
+    from socialways_tpu.data.dataset import PackedBatches
+    from socialways_tpu.engine.trainer import _check_grad_accum_alignment
+
+    def packed(ids):
+        ids = np.asarray([ids], np.int32)
+        n = ids.shape[1]
+        return PackedBatches(
+            obsvs=np.zeros((1, n, 2, 2), np.float32),
+            preds=np.zeros((1, n, 2, 2), np.float32),
+            scene_ids=ids, valid=ids != -1,
+            n_valid=np.asarray([(ids != -1).sum()], np.int32))
+
+    # aligned: scene 0 rows 0-3, scene 1 rows 4-7
+    _check_grad_accum_alignment(packed([0, 0, 0, 0, 1, 1, 1, 1]), 2, True)
+    # padding at the boundary is allowed
+    _check_grad_accum_alignment(packed([0, 0, 0, -1, -1, -1, -1, -1]),
+                                2, True)
+    # scene 1 crosses rows 3|4 -> rejected for social, fine without
+    bad = packed([0, 0, 0, 1, 1, 1, -1, -1])
+    with pytest.raises(ValueError, match="splits scene"):
+        _check_grad_accum_alignment(bad, 2, True)
+    _check_grad_accum_alignment(bad, 2, False)
+    # width not divisible
+    with pytest.raises(ValueError, match="divisible"):
+        _check_grad_accum_alignment(packed([0, 0, 0, 0, 1, 1]), 4, False)
+
+
 def test_grad_accum_rejects_bad_shapes():
     cfg = CFG.replace(grad_accum=3)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
