@@ -56,8 +56,11 @@ def bench_size(n: int, args) -> dict:
     import functools
     step = functools.partial(gan_step, cfg=cfg)
 
+    # batch must be a jit ARGUMENT: captured in the closure it becomes an
+    # HLO constant and the remote-compile request body blows past the
+    # tunnel's length limit (HTTP 413) at >=2M agents
     @jax.jit
-    def run(state, keys):
+    def run(state, batch, keys):
         def body(s, k):
             s2, m = step(s, batch, k)
             return s2, m.g_loss
@@ -67,11 +70,11 @@ def bench_size(n: int, args) -> dict:
     keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
     try:
         tic = time.perf_counter()
-        s2, losses = run(state, keys)
+        s2, losses = run(state, batch, keys)
         float(jnp.sum(losses))
         compile_and_first = time.perf_counter() - tic
         tic = time.perf_counter()
-        s2, losses = run(state, keys)
+        s2, losses = run(state, batch, keys)
         float(jnp.sum(losses))                    # forces a host transfer
         elapsed = time.perf_counter() - tic
     except Exception as e:

@@ -62,10 +62,6 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="run generator/discriminator forward math in "
                         "bfloat16 on the MXU (f32 master params, f32 "
                         "losses); float32 remains the parity default")
-    p.add_argument("--pallas-decode", action="store_true",
-                   help="also use the fused Pallas decode kernel (XLA's "
-                        "decode is faster on-device at every measured size; "
-                        "kept for kernel-development use)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU only; long "
                         "first compile)")
@@ -198,7 +194,6 @@ def _cfg_from_args(args) -> "TrainConfig":
         dump_dir=args.dump_dir,
         epoch_on_device=not args.host_loop,
         use_pallas=getattr(args, "pallas", False),
-        pallas_decode=getattr(args, "pallas_decode", False),
         grad_clip=getattr(args, "grad_clip", 0.0),
         lr_decay_rate=getattr(args, "lr_decay_rate", 1.0),
         lr_decay_steps=getattr(args, "lr_decay_steps", 0),

@@ -130,10 +130,10 @@ class TrainConfig:
     use_pallas: bool = False     # fused social-attention kernel (TPU only):
                                  # on-device 1.2-5.7x vs XLA and the only
                                  # form that fits HBM at 10k agents
-    # fused autoregressive-decode kernel: kept for completeness, but XLA's
-    # own decode is FASTER on-device at every size once host dispatch is
-    # excluded (see kernels/rollout.py) — leave False unless re-measured
-    pallas_decode: bool = False
+    # (a pallas_decode flag existed through round 2; the fused decode
+    # kernel lost to XLA decode in every regime, including inside the
+    # fused crowd-simulate program — benchmarks/decode_kernel_ab.json —
+    # and was removed)
     # rematerialize the per-step LSTM/decoder computations during TRAINING
     # (value-identical; backward recomputes each step once).  Cuts the
     # rollout + encoder + D-observation residuals from ~36 KB/agent (every

@@ -54,8 +54,7 @@ def crowd_simulate(
         obsv = carry
         pred = generator_rollout(g_params, obsv, z, cfg.n_next,
                                  scene_ids, cfg.use_social, cfg.decoder,
-                                 cfg.use_pallas, cfg.pallas_decode,
-                                 cfg.max_scene_size)
+                                 cfg.use_pallas, cfg.max_scene_size)
         pos = pred[..., :2]
         new_obsv = jnp.concatenate([obsv, pos], axis=1)[:, -n_past:]
         return new_obsv, pos

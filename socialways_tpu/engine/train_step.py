@@ -208,8 +208,7 @@ def gan_step(
         out = generator_rollout(cast(g_params), cast(obsv_), cast(z),
                                 cfg.n_next, sids, cfg.use_social,
                                 cfg.decoder, cfg.use_pallas,
-                                cfg.pallas_decode, cfg.max_scene_size,
-                                cfg.remat_steps)
+                                cfg.max_scene_size, cfg.remat_steps)
         return out.astype(dtype)
 
     def rollout(g_params, z):

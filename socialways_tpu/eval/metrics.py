@@ -64,17 +64,6 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
         noise_k = jax.lax.dynamic_slice_in_dim(noise_k, row0, n, axis=1)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas, cfg.max_scene_size)
-    if cfg.pallas_decode and cfg.decoder == "fc" \
-            and jax.default_backend() == "tpu":
-        # flatten K×N into one big agent batch — decode rows are
-        # independent, and larger tiles feed the fused kernel better
-        prep_k = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (k,) + x.shape)
-            .reshape((k * n,) + x.shape[1:]), prep)
-        flat = decode_rollout(g_params, prep_k,
-                              noise_k.reshape(k * n, cfg.noise_len),
-                              cfg.n_next, cfg.decoder, use_pallas=True)
-        return flat.reshape(k, n, cfg.n_next, 4)
     return jax.vmap(
         lambda z: decode_rollout(g_params, prep, z, cfg.n_next, cfg.decoder)
     )(noise_k)

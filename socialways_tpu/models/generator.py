@@ -141,14 +141,16 @@ def decode_rollout(
     noise: jnp.ndarray,              # [N, noise_len]
     n_next: int,
     decoder: str = "fc",
-    use_pallas: bool = False,
     remat: bool = False,
 ) -> jnp.ndarray:
     """Noise-dependent autoregressive decode. Returns pred_4d [N, n_next, 4].
 
     Mirrors reference ``predict`` (train.py:392-432) with the 12-step loop
-    as ``lax.scan``; carry = (h, c, last position).  With ``use_pallas`` the
-    FC-decoder path runs the fully-fused Pallas kernel (kernels/rollout).
+    as ``lax.scan``; carry = (h, c, last position).  (A fully-fused Pallas
+    decode kernel existed through round 2 but lost to XLA's own decode in
+    every regime including inside the fused crowd-simulate program —
+    benchmarks/decode_kernel_ab.json — and was removed; see git history
+    for the kernel and its writeup.)
 
     ``remat`` checkpoints each decode step (and keeps the scan rolled): the
     training residuals drop from ~24 KB/agent (every FC/LSTM intermediate
@@ -156,9 +158,6 @@ def decode_rollout(
     the one-chip crowd-TRAINING ceiling past 262k agents.  Value-identical;
     backward recomputes each step once.
     """
-    if use_pallas and decoder == "fc" and jax.default_backend() == "tpu":
-        from socialways_tpu.kernels.rollout import decode_rollout_fused
-        return decode_rollout_fused(params, prep, noise, n_next)
     h, c, s, last_p0 = prep
     n = h.shape[0]
     dec_state = (zero_state(n, params["dec_lstm"]["w"].shape[1] // 4,
@@ -205,17 +204,15 @@ def generator_rollout(
     use_social: bool = False,
     decoder: str = "fc",
     use_pallas: bool = False,
-    pallas_decode: bool = False,
     max_scene: int = 0,
     remat_steps: bool = False,
 ) -> jnp.ndarray:
     """Full prediction rollout (prepare + decode). [N, n_next, 4].
 
     ``use_pallas`` gates the fused social-attention kernel (an on-device
-    win); ``pallas_decode`` separately gates the fused decode kernel (XLA
-    is faster on-device — see kernels/rollout.py); ``remat_steps``
-    checkpoints the encoder/decode steps (crowd-scale training memory)."""
+    win); ``remat_steps`` checkpoints the encoder/decode steps
+    (crowd-scale training memory)."""
     prep = prepare_rollout(params, obsv_p, scene_ids, use_social,
                            use_pallas, max_scene, remat_steps)
     return decode_rollout(params, prep, noise, n_next, decoder,
-                          pallas_decode, remat_steps)
+                          remat_steps)

@@ -90,54 +90,6 @@ def test_generator_prepare_decode_equals_monolithic():
                                rtol=1e-6)
 
 
-# ------------------------------------------------------ fused decode
-def test_fused_decode_matches_xla():
-    from socialways_tpu.kernels.rollout import _pallas_decode
-    from socialways_tpu.models.generator import (decode_rollout,
-                                                 prepare_rollout)
-
-    cfg = TrainConfig(hidden_size=64, social_feature_size=64, noise_len=32)
-    params = init_generator(jax.random.PRNGKey(0), cfg)
-    rng = np.random.RandomState(5)
-    n = 100
-    obsv = jnp.asarray(rng.rand(n, 8, 2).astype(np.float32))
-    noise = jnp.asarray(rng.rand(n, 32).astype(np.float32))
-    ids = jnp.asarray((np.arange(n) // 10).astype(np.int32))
-    prep = prepare_rollout(params, obsv, ids, use_social=True)
-    ref = decode_rollout(params, prep, noise, 12)
-    got = _pallas_decode(params, prep, noise, 12, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-6)
-
-
-def test_fused_decode_gradients_via_xla_bwd():
-    import sys
-    import socialways_tpu.kernels.rollout  # noqa: F401
-    ro = sys.modules["socialways_tpu.kernels.rollout"]
-    from socialways_tpu.models.generator import (decode_rollout,
-                                                 prepare_rollout)
-
-    cfg = TrainConfig(hidden_size=32, social_feature_size=32, noise_len=16)
-    params = init_generator(jax.random.PRNGKey(1), cfg)
-    rng = np.random.RandomState(6)
-    n = 16
-    obsv = jnp.asarray(rng.rand(n, 8, 2).astype(np.float32))
-    noise = jnp.asarray(rng.rand(n, 16).astype(np.float32))
-    prep = prepare_rollout(params, obsv, None, use_social=False)
-
-    orig = ro._pallas_decode
-    ro._pallas_decode = lambda *a, **k: orig(*a, interpret=True)
-    try:
-        g1 = jax.grad(lambda z: jnp.sum(
-            ro.decode_rollout_fused(params, prep, z, 12) ** 2))(noise)
-        g2 = jax.grad(lambda z: jnp.sum(
-            decode_rollout(params, prep, z, 12) ** 2))(noise)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                                   rtol=1e-3, atol=1e-5)
-    finally:
-        ro._pallas_decode = orig
-
-
 def test_fused_attention_bf16_operands_close_to_f32():
     """bf16 inputs keep bf16 VMEM tiles (interpret mode): close to the f32
     reference within mixed-precision tolerance."""
