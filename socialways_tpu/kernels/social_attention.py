@@ -27,9 +27,12 @@ Measured (v5e, H=64, fwd+bwd): 1.3-1.6× the windowed-XLA vjp and 8.4× the
 blockwise-remat vjp at 8k agents / 64-agent scenes; the one regime it
 loses is a single DENSE scene spanning most of the batch (the band skips
 nothing, and XLA's big batched matmuls win — ~10×; bounded, and not a
-Social-Ways workload).  f32 training only: under bf16 the f32 score
-recompute would not renormalize against the bf16 forward's saved (m, l).
-Above ``_PALLAS_BWD_MAX_AGENTS`` (or in bf16) the backward
+Social-Ways workload).  Dtype-consistent in both precisions: the score
+recompute casts the f32 master weights/operands to the FORWARD's operand
+dtype inside the vjp'd function, so under bf16 the rebuilt scores equal
+the bf16 forward's and renormalize exactly against its saved (m, l),
+while every cotangent accumulates in f32 (the cast's vjp is a cast back).
+Above ``_PALLAS_BWD_MAX_AGENTS`` the backward
 falls to the blockwise rematerialized XLA form
 (ops.social.social_context_blockwise under ``jax.vjp``): exact gradients
 in O(N·block) memory, so TRAINING with social attention also works at
@@ -286,13 +289,18 @@ def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
 def _bwd_dq_kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
                    g_ref, stats_ref, r_ref,
                    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                   dxi_ref, *, ti: int, tj: int):
+                   dxi_ref, *, ti: int, tj: int, op_dt):
     """Query-side backward: dL/dx_i.  Grid over i-tiles; per j-tile in the
     scene band, recompute the pair scores (via the SAME _pair_scores the
     forward ran), rebuild a_ij from the saved softmax stats, form
     dσ_ij = a_ij (g_i·h_j − g_i·out_i), and pull it back through the score
     computation w.r.t. x_i with jax.vjp — the feature/MLP gradients are
-    exact by construction, no hand-derived derivatives."""
+    exact by construction, no hand-derived derivatives.
+
+    ``op_dt`` is the FORWARD's operand dtype: the f32 master weights are
+    cast to it inside the vjp'd function so the recomputed scores are
+    bit-identical to the forward's (bf16 forward → bf16 recompute) and the
+    saved (m, l) stats renormalize exactly; cotangents stay f32."""
     i = pl.program_id(0)
     i0 = i * ti
     xi = x4_ref[pl.ds(i0, ti), :]
@@ -309,11 +317,14 @@ def _bwd_dq_kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
         j0 = jt * tj
         xj = x4_ref[pl.ds(j0, tj), :]
         ids_j = ids_ref[pl.ds(j0, tj), :]
-        hj = h_ref[pl.ds(j0, tj), :]
+        hj = h_ref[pl.ds(j0, tj), :].astype(jnp.float32)
         whj = wh_ref[pl.ds(j0, tj), :].astype(jnp.float32)
         feat = whj.shape[-1]
         f, vjp_fn = jax.vjp(
-            lambda xi_: _pair_embed(xi_, xj, w1, b1, w2, b2, w3, b3), xi)
+            lambda xi_: _pair_embed(xi_, xj, w1.astype(op_dt),
+                                    b1.astype(op_dt), w2.astype(op_dt),
+                                    b2.astype(op_dt), w3.astype(op_dt),
+                                    b3.astype(op_dt)), xi)
         f3 = f.reshape(ti, tj, feat)
         s = jnp.sum(f3 * whj[None, :, :], axis=-1)   # [ti, tj]
         mask = _mask_tile(ids_i, ids_j, i0, j0, ti, tj)
@@ -335,17 +346,19 @@ def _bwd_dkv_kernel(istart_ref, iend_ref, x4_ref, ids_ref, h_ref, wh_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                     dxj_ref, dhj_ref, dwhj_ref,
                     dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
-                    *, ti: int, tj: int):
+                    *, ti: int, tj: int, op_dt):
     """Neighbor-side backward: dL/dx_j, dL/dh_j (value path), dL/d(Wh)_j,
     and the feature-MLP weight gradients.  Grid over j-tiles; per i-tile in
     the TRANSPOSED scene band each ordered pair (i, j) is visited exactly
     once, so the weight grads accumulate across the sequential TPU grid
-    into constant-index output blocks."""
+    into constant-index output blocks.  ``op_dt`` as in _bwd_dq_kernel:
+    weights cast to the forward's operand dtype inside the vjp'd function,
+    f32 cotangents."""
     jt = pl.program_id(0)
     j0 = jt * tj
     xj = x4_ref[pl.ds(j0, tj), :]
     ids_j = ids_ref[pl.ds(j0, tj), :]
-    hj = h_ref[pl.ds(j0, tj), :]
+    hj = h_ref[pl.ds(j0, tj), :].astype(jnp.float32)
     whj = wh_ref[pl.ds(j0, tj), :]
     w1, b1 = w1_ref[:], b1_ref[:]
     w2, b2 = w2_ref[:], b2_ref[:]
@@ -364,7 +377,9 @@ def _bwd_dkv_kernel(istart_ref, iend_ref, x4_ref, ids_ref, h_ref, wh_ref,
         ri = r_ref[pl.ds(i0, ti), :]
         f, vjp_fn = jax.vjp(
             lambda xj_, w1_, b1_, w2_, b2_, w3_, b3_: _pair_embed(
-                xi, xj_, w1_, b1_, w2_, b2_, w3_, b3_),
+                xi, xj_, w1_.astype(op_dt), b1_.astype(op_dt),
+                w2_.astype(op_dt), b2_.astype(op_dt),
+                w3_.astype(op_dt), b3_.astype(op_dt)),
             xj, w1, b1, w2, b2, w3, b3)
         feat = whj.shape[-1]
         whjf = whj.astype(jnp.float32)
@@ -423,11 +438,15 @@ def _pallas_backward(params: Dict, x4_last, h, scene_ids, g, out_pad,
                      interpret: bool = False):
     """Assemble dL/d(params, x4, h) from the two backward kernels.
 
-    All backward math runs f32 (weight-grad accumulation in bf16 would
-    lose precision); ``out_pad``/``stats`` are the padded f32 forward
-    output and per-row softmax (m, l) saved by ``_fwd``.
+    Cotangent accumulation runs f32 in both precisions; under a bf16
+    forward the score recompute uses bf16 operands (weights cast inside
+    the kernels' vjp'd functions, h/wh tiles stored bf16 — halving their
+    VMEM) so the rebuilt attention renormalizes exactly against the
+    forward's saved (m, l).  ``out_pad``/``stats`` are the padded f32
+    forward output and per-row softmax stats saved by ``_fwd``.
     """
     n, hdim = h.shape
+    op_dt = jnp.bfloat16 if h.dtype == jnp.bfloat16 else jnp.float32
     feat = params["attn_w"]["w"].shape[1]
     f32 = jnp.float32
     pf32 = jax.tree_util.tree_map(lambda x: x.astype(f32), params)
@@ -445,7 +464,10 @@ def _pallas_backward(params: Dict, x4_last, h, scene_ids, g, out_pad,
     n_tot = n + n_pad
 
     ww, wb = pf32["attn_w"]["w"], pf32["attn_w"]["b"]
-    wh = jnp.dot(h_p, ww) + wb                       # [n_tot, F] f32
+    # same construction as the forward's wh (f32 dot, then operand-dtype
+    # cast) so the backward's score operands are value-identical to it
+    wh = (jnp.dot(h_p, ww) + wb).astype(op_dt)       # [n_tot, F]
+    h_k = h_p.astype(op_dt)                          # exact: h was op_dt
     w1, w2, w3 = pf32["feat_mlp"]
     ids2d = ids_p.astype(jnp.int32).reshape(n_tot, 1)
     r = jnp.sum(g_p * out_pad, axis=-1, keepdims=True)   # g·out per row
@@ -467,12 +489,13 @@ def _pallas_backward(params: Dict, x4_last, h, scene_ids, g, out_pad,
         full(w2["w"].shape), full(w2["b"].shape),
         full(w3["w"].shape), full(w3["b"].shape),
     ]
-    shared_args = (x4_p, ids2d, h_p, wh, g_p, stats, r,
+    shared_args = (x4_p, ids2d, h_k, wh, g_p, stats, r,
                    w1["w"], w1["b"], w2["w"], w2["b"], w3["w"], w3["b"])
 
     # ---- kernel A: dx_i (grid over big i-tiles, small j-tiles inside)
     dxi = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, ti=tile_big, tj=tile_small),
+        functools.partial(_bwd_dq_kernel, ti=tile_big, tj=tile_small,
+                          op_dt=op_dt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tot // tile_big,),
@@ -487,7 +510,8 @@ def _pallas_backward(params: Dict, x4_last, h, scene_ids, g, out_pad,
     # ---- kernel B: dx_j, dh_j, d(Wh)_j + MLP weight grads
     # (grid over big j-tiles, small i-tiles inside — the transposed band)
     outs = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, ti=tile_small, tj=tile_big),
+        functools.partial(_bwd_dkv_kernel, ti=tile_small, tj=tile_big,
+                          op_dt=op_dt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tot // tile_big,),
@@ -553,15 +577,17 @@ def social_attention_fused(params: Dict, x4_last: jnp.ndarray,
     """Fused features→embed→pool. Same math as ops.social (±1e-5).
 
     ``max_scene`` (static) only shapes the FALLBACK backward: when the
-    Pallas backward is unavailable (n > 8k agents, or bf16) and the caller
+    Pallas backward is unavailable (n > the VMEM agent cap) and the caller
     can bound rows-per-scene, the vjp uses the linear windowed form
     instead of the O(N²) blockwise one (measured 3-8× faster)."""
     return _pallas_forward(params, x4_last, h, scene_ids)
 
 
-# Pallas backward keeps the full f32 residents (x4, h, wh, g, stats) in
-# VMEM — roughly 2× the forward's footprint, so a lower agent cap; above
-# it the backward falls to the XLA blockwise remat form.
+# Pallas backward keeps the full residents (x4, g f32; h, wh in the
+# forward's operand dtype; stats) in VMEM — roughly 2× the forward's
+# footprint, so a lower agent cap; above it the backward falls to the XLA
+# blockwise remat form.  (bf16 halves the h/wh residents; the cap is kept
+# shared and conservative.)
 _PALLAS_BWD_MAX_AGENTS = 8192
 _BWD_INTERPRET = False    # tests set True to run the Pallas backward on CPU
 
@@ -569,12 +595,12 @@ _BWD_INTERPRET = False    # tests set True to run the Pallas backward on CPU
 def _use_pallas_bwd(h) -> bool:
     """Static (trace-time) choice of the backward implementation.
 
-    f32 only: the backward recomputes scores in f32, so under bf16 the
-    rebuilt attention weights would not renormalize against the bf16
-    forward's saved (m, l) stats — bf16 training takes the blockwise-remat
-    backward, whose gradients are those of a self-consistent forward."""
+    Both precisions: the backward recomputes scores with the forward's
+    operand dtype (bf16 forward → bf16 recompute, f32 grad accumulation),
+    so the rebuilt attention renormalizes exactly against the saved (m, l)
+    stats in either mode.  Only the agent cap (VMEM residents) forces the
+    blockwise-remat fallback."""
     return (h.shape[0] <= _PALLAS_BWD_MAX_AGENTS
-            and h.dtype != jnp.bfloat16
             and (jax.default_backend() == "tpu" or _BWD_INTERPRET))
 
 

@@ -145,45 +145,53 @@ def test_pallas_backward_matches_xla_grads():
                    for x in jax.tree_util.tree_leaves(b))
 
 
-def test_fused_bf16_backward_takes_blockwise_path():
-    """Under bf16 the custom_vjp must NOT use the Pallas backward (its f32
-    score recompute wouldn't renormalize against bf16 forward stats) —
-    it falls back to the blockwise-remat vjp, with finite grads."""
+def test_fused_bf16_backward_uses_pallas_and_matches_f32_grads():
+    """Under bf16 the custom_vjp NOW takes the Pallas backward (round-2
+    session-3: the score recompute casts the f32 master weights to the
+    forward's operand dtype inside the kernels, so the rebuilt attention
+    renormalizes exactly against the bf16 forward's saved stats) — grads
+    must be finite, f32-accumulated, and close to the f32 XLA reference
+    within mixed-precision tolerance."""
     import sys
     sa = sys.modules["socialways_tpu.kernels.social_attention"]
 
     p, x4, h, ids = _setup(96, 8, key=4)
-    # bf16 training casts ALL floating inputs (gan_step's cast), so the
-    # blockwise fallback sees uniformly bf16 operands
+    # bf16 training casts ALL floating inputs (gan_step's cast)
     p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
     h16 = h.astype(jnp.bfloat16)
-    x4 = x4.astype(jnp.bfloat16)
-    assert not sa._use_pallas_bwd(h16)
+    x16 = x4.astype(jnp.bfloat16)
+    assert sa._use_pallas_bwd(h16) or jax.default_backend() != "tpu"
+
+    gref = jax.grad(lambda hh: jnp.sum(
+        jnp.sin(sa._xla_reference(p, x4, hh, ids))))(h)
 
     orig_fwd, orig_flag = sa._pallas_forward, sa._BWD_INTERPRET
     sa._pallas_forward = lambda *a, **k: orig_fwd(
         *a, **{**k, "interpret": True})
-    sa._BWD_INTERPRET = True          # would enable Pallas bwd — but bf16
+    sa._BWD_INTERPRET = True
     called = []
     orig_bwd = sa._pallas_backward
     sa._pallas_backward = lambda *a, **k: called.append(1) or orig_bwd(
         *a, **k)
     try:
-        g = jax.grad(lambda hh: jnp.sum(
-            sa.social_attention_fused(p16, x4, hh, ids)
-            .astype(jnp.float32)))(h16)
+        g = jax.grad(lambda hh: jnp.sum(jnp.sin(
+            sa.social_attention_fused(p16, x16, hh, ids)
+            .astype(jnp.float32))))(h16)
     finally:
         sa._pallas_forward = orig_fwd
         sa._BWD_INTERPRET = orig_flag
         sa._pallas_backward = orig_bwd
-    assert not called                  # blockwise path, not the kernels
-    assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+    assert called                      # the Pallas backward kernels ran
+    g32 = np.asarray(g, np.float32)
+    assert np.isfinite(g32).all()
+    np.testing.assert_allclose(g32, np.asarray(gref), atol=0.06, rtol=0.06)
 
 
 def test_fused_fallback_backward_uses_windowed_when_bounded():
-    """When the Pallas backward is unavailable (bf16) and the caller bounds
-    rows-per-scene, the fallback vjp must take the linear windowed form
-    (ADVICE r1) — and its grads must match the blockwise fallback."""
+    """When the Pallas backward is unavailable (above the VMEM agent cap)
+    and the caller bounds rows-per-scene, the fallback vjp must take the
+    linear windowed form (ADVICE r1) — and its grads must match the
+    blockwise fallback.  bf16 operands as in gan_step's cast."""
     import sys
     sa = sys.modules["socialways_tpu.kernels.social_attention"]
     from socialways_tpu.ops import social as social_xla
@@ -192,6 +200,8 @@ def test_fused_fallback_backward_uses_windowed_when_bounded():
     p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
     h16 = h.astype(jnp.bfloat16)
     x4 = x4.astype(jnp.bfloat16)
+    orig_cap = sa._PALLAS_BWD_MAX_AGENTS
+    sa._PALLAS_BWD_MAX_AGENTS = 0      # force the fallback backward
     assert not sa._use_pallas_bwd(h16)
 
     orig_fwd = sa._pallas_forward
@@ -211,6 +221,7 @@ def test_fused_fallback_backward_uses_windowed_when_bounded():
         g_blk = jax.grad(lambda hh: loss(hh, 0))(h16)
     finally:
         sa._pallas_forward = orig_fwd
+        sa._PALLAS_BWD_MAX_AGENTS = orig_cap
         social_xla.social_context_windowed = orig_win
     np.testing.assert_allclose(np.asarray(g_win.astype(jnp.float32)),
                                np.asarray(g_blk.astype(jnp.float32)),
