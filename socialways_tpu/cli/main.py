@@ -71,6 +71,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--auto-recover", action="store_true",
                    help="on training divergence (NaN or ADE >5x best), "
                         "restore the best checkpoint and continue")
+    p.add_argument("--stall-recover", type=int, default=0,
+                   help="with --track-coverage: after N consecutive "
+                        "coverage evals without a new best, restore the "
+                        "best-coverage checkpoint and continue on the "
+                        "(fresh) RNG stream — random-restart hill "
+                        "climbing on mode coverage (0 = off)")
     p.add_argument("--r1-gamma", type=float, default=0.0,
                    help="R1 gradient penalty weight on the real-data D "
                         "output (0 = off, reference behavior; a GAN "
@@ -287,6 +293,7 @@ def cmd_train(args) -> int:
     best_ade = float("inf")
     best_train_ade = float("inf")
     best_cov = -1.0
+    cov_stall = 0
     bestcov_file = os.path.join(cfg.model_dir,
                                 f"{args.model}-{cfg.dataset}-bestcov.npz")
     state = trainer.init_state()
@@ -368,9 +375,24 @@ def cmd_train(args) -> int:
                 print(f"mode coverage = {cov:.2f}")
                 if cov > best_cov:
                     best_cov = cov
+                    cov_stall = 0
                     save_checkpoint(bestcov_file, state, epoch, rng,
                                     ds.scale)
                     print(f"new best coverage saved to {bestcov_file}")
+                else:
+                    cov_stall += 1
+                    if (args.stall_recover > 0
+                            and cov_stall >= args.stall_recover
+                            and best_cov < 1.0
+                            and checkpoint_exists(bestcov_file)):
+                        state, c_epoch, _, _ = restore_checkpoint(
+                            bestcov_file, state)
+                        cov_stall = 0
+                        print(f"coverage STALLED at epoch {epoch} "
+                              f"({cov:.2f} < best {best_cov:.2f}); "
+                              f"restored best-coverage checkpoint from "
+                              f"epoch {c_epoch}, continuing on a fresh "
+                              f"stream")
             if cfg.dump_dir:
                 _dump_first_chunk(trainer, state, ds, cfg, epoch, rng)
 
