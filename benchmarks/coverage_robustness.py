@@ -55,6 +55,26 @@ RECIPES = {
     "robust1": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
                 "--auto-recover", "--block-size", "1000",
                 "--info-weight", "1.0"],
+    # round-2 session-3 arms: the variety loss (corrected SGAN min-over-K
+    # L2) is the one structural anti-collapse lever not yet swept — it
+    # directly penalizes any sample's modes going uncovered; info2 probes
+    # stronger categorical-code pressure on the slow big-toy seeds
+    "robust1+var": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                    "10000", "--auto-recover", "--block-size", "1000",
+                    "--info-weight", "1.0", "--use-variety-loss"],
+    "robust1+info2": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                      "10000", "--auto-recover", "--block-size", "1000",
+                      "--info-weight", "2.0"],
+    # robust2: robust1 + coverage-stagnation rescue (--stall-recover 6 =
+    # restart from the best-coverage checkpoint after 6k stalled steps)
+    "robust2": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+                "--auto-recover", "--block-size", "1000",
+                "--info-weight", "1.0", "--stall-recover", "6"],
+    # more codes than modes: redundant categorical codes raise the chance
+    # every turn mode has at least one code mapped to it
+    "robust1+codes6": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                       "10000", "--auto-recover", "--block-size", "1000",
+                       "--info-weight", "1.0", "--n-latent-codes", "6"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",

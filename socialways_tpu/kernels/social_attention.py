@@ -98,10 +98,17 @@ def _pair_embed(xi, xj, w1, b1, w2, b2, w3, b3):
     dca = _snorm(cax * cax + cay * cay)
 
     op_dt = w1.dtype
-    f = jnp.stack([dist, bearing, dca], axis=-1).reshape(ti * tj, 3)
-    f = jnp.maximum(
-        jnp.dot(f.astype(op_dt), w1, preferred_element_type=jnp.float32)
-        + b1.astype(jnp.float32), 0.0)
+    # layer 1 as three broadcast FMAs on the VPU: a [*, 3] @ [3, 32] MXU
+    # matmul pads K=3 to the full 128-wide tile (~2% utilization); the
+    # rank-3 contraction is cheaper as explicit outer-product adds
+    w1f = w1.astype(jnp.float32)
+    f = (dist.reshape(ti * tj, 1).astype(op_dt).astype(jnp.float32)
+         * w1f[0][None, :]
+         + bearing.reshape(ti * tj, 1).astype(op_dt).astype(jnp.float32)
+         * w1f[1][None, :]
+         + dca.reshape(ti * tj, 1).astype(op_dt).astype(jnp.float32)
+         * w1f[2][None, :])
+    f = jnp.maximum(f + b1.astype(jnp.float32), 0.0)
     f = jnp.maximum(
         jnp.dot(f.astype(op_dt), w2, preferred_element_type=jnp.float32)
         + b2.astype(jnp.float32), 0.0)
@@ -120,6 +127,22 @@ def _pair_scores(xi, xj, whj, w1, b1, w2, b2, w3, b3):
     return jnp.sum(f * whj_rep, axis=-1).reshape(ti, tj)
 
 
+def _pair_scores_chunked(xi, xj, whj, w1, b1, w2, b2, w3, b3,
+                         n_chunks: int):
+    """_pair_scores with the i-rows split into ``n_chunks`` static chunks:
+    the [ti·tj, ·] MLP intermediates only ever cover one chunk, so a
+    lane-native [128, 128] pair tile fits VMEM (the un-chunked form is
+    capped at ti·tj ≤ 8192 by those intermediates)."""
+    if n_chunks == 1:
+        return _pair_scores(xi, xj, whj, w1, b1, w2, b2, w3, b3)
+    ti = xi.shape[0]
+    tc = ti // n_chunks
+    return jnp.concatenate(
+        [_pair_scores(xi[c * tc:(c + 1) * tc], xj, whj,
+                      w1, b1, w2, b2, w3, b3)
+         for c in range(n_chunks)], axis=0)
+
+
 def _mask_tile(ids_i, ids_j, i0, j0, ti, tj):
     """Scene-membership mask for one [ti, tj] pair tile (same id, both
     valid, not self — replaces the reference's −1000 trick and N==1 skip,
@@ -133,7 +156,8 @@ def _mask_tile(ids_i, ids_j, i0, j0, ti, tj):
 
 def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-            out_ref, stats_ref, *, ti: int, tj: int, n: int, feat: int):
+            out_ref, stats_ref, *, ti: int, tj: int, n: int, feat: int,
+            mlp_chunks: int = 1):
     """Grid: (n // ti,). Full x4/ids/h/wh live in VMEM; the i-tile of the
     output is blocked.  jstart/jend (scalar-prefetched) bound the j-tile
     band per i-tile: scene ids are sorted, so only a contiguous run of
@@ -153,8 +177,9 @@ def _kernel(jstart_ref, jend_ref, x4_ref, ids_ref, h_ref, wh_ref,
         ids_j = ids_ref[pl.ds(j0, tj), :]            # [tj, 1]
         whj = wh_ref[pl.ds(j0, tj), :]               # [tj, feat]
 
-        scores = _pair_scores(xi, xj, whj, w1_ref[:], b1_ref[:],
-                              w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:])
+        scores = _pair_scores_chunked(xi, xj, whj, w1_ref[:], b1_ref[:],
+                                      w2_ref[:], b2_ref[:], w3_ref[:],
+                                      b3_ref[:], mlp_chunks)
         mask = _mask_tile(ids_i, ids_j, i0, j0, ti, tj)
         scores = jnp.where(mask, scores, _NEG)
 
@@ -200,7 +225,8 @@ def _tile_bands(sent: jnp.ndarray, n_tot: int, trow: int, tcol: int):
 
 def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
                     scene_ids: jnp.ndarray, *, ti: int = 128,
-                    tj: int = 64, interpret: bool = False,
+                    tj: int = 64, mlp_chunks: int = 1,
+                    interpret: bool = False,
                     with_stats: bool = False):
     n, hdim = h.shape
     feat = params["attn_w"]["w"].shape[1]
@@ -237,7 +263,8 @@ def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
                      jnp.iinfo(jnp.int32).max)
     jstart, jend = _tile_bands(sent, n_tot, ti, tj)
 
-    kern = functools.partial(_kernel, ti=ti, tj=tj, n=n_tot, feat=feat)
+    kern = functools.partial(_kernel, ti=ti, tj=tj, n=n_tot, feat=feat,
+                             mlp_chunks=mlp_chunks)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -33,6 +33,20 @@ def test_fused_matches_xla_multi_scene():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_tile_shapes_and_mlp_chunks_match_xla():
+    """Alternate (ti, tj) tile shapes and the chunked-MLP path (which
+    enables lane-native 128x128 pair tiles within VMEM) are value-equal
+    to the XLA reference."""
+    p, x4, h, ids = _setup(200, 10, key=7)
+    ref = np.asarray(_xla_reference(p, x4, h, ids))
+    for ti, tj, ch in [(64, 128, 1), (128, 128, 2), (64, 64, 2)]:
+        got = _pallas_forward(p, x4, h, ids, ti=ti, tj=tj, mlp_chunks=ch,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"tile {ti}x{tj}c{ch}")
+
+
 def test_fused_handles_padding_and_singletons():
     p, x4, h, ids = _setup(100, 7, key=1)
     ids = np.asarray(ids).copy()
