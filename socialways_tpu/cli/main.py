@@ -77,6 +77,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "best-coverage checkpoint and continue on the "
                         "(fresh) RNG stream — random-restart hill "
                         "climbing on mode coverage (0 = off)")
+    p.add_argument("--stall-reset-d", action="store_true",
+                   help="with --stall-recover: also re-initialize the "
+                        "discriminator (params + optimizer) on each "
+                        "stall rescue — a fresh adversarial landscape "
+                        "can push a collapsed code-to-mode mapping out "
+                        "of its basin (D is small and relearns fast)")
     p.add_argument("--r1-gamma", type=float, default=0.0,
                    help="R1 gradient penalty weight on the real-data D "
                         "output (0 = off, reference behavior; a GAN "
@@ -388,11 +394,26 @@ def cmd_train(args) -> int:
                         state, c_epoch, _, _ = restore_checkpoint(
                             bestcov_file, state)
                         cov_stall = 0
+                        extra = ""
+                        if args.stall_reset_d:
+                            from socialways_tpu.engine.train_step import \
+                                make_optimizers
+                            from socialways_tpu.models.discriminator import \
+                                init_discriminator
+                            import jax.numpy as jnp
+                            rng, kd = jax.random.split(rng)
+                            d_params = init_discriminator(
+                                kd, cfg, jnp.dtype(cfg.dtype))
+                            _, d_tx = make_optimizers(cfg)
+                            state = state._replace(
+                                d_params=d_params,
+                                d_opt=d_tx.init(d_params))
+                            extra = " with a RE-INITIALIZED discriminator"
                         print(f"coverage STALLED at epoch {epoch} "
                               f"({cov:.2f} < best {best_cov:.2f}); "
                               f"restored best-coverage checkpoint from "
-                              f"epoch {c_epoch}, continuing on a fresh "
-                              f"stream")
+                              f"epoch {c_epoch}{extra}, continuing on a "
+                              f"fresh stream")
             if cfg.dump_dir:
                 _dump_first_chunk(trainer, state, ds, cfg, epoch, rng)
 
