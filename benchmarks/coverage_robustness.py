@@ -75,6 +75,11 @@ RECIPES = {
     "robust1+codes6": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
                        "10000", "--auto-recover", "--block-size", "1000",
                        "--info-weight", "1.0", "--n-latent-codes", "6"],
+    # robust3: the big-toy winner (info 2.0) + D-reset stall rescue
+    "robust3": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+                "--auto-recover", "--block-size", "1000",
+                "--info-weight", "2.0", "--stall-recover", "4",
+                "--stall-reset-d"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",
