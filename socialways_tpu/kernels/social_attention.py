@@ -98,17 +98,10 @@ def _pair_embed(xi, xj, w1, b1, w2, b2, w3, b3):
     dca = _snorm(cax * cax + cay * cay)
 
     op_dt = w1.dtype
-    # layer 1 as three broadcast FMAs on the VPU: a [*, 3] @ [3, 32] MXU
-    # matmul pads K=3 to the full 128-wide tile (~2% utilization); the
-    # rank-3 contraction is cheaper as explicit outer-product adds
-    w1f = w1.astype(jnp.float32)
-    f = (dist.reshape(ti * tj, 1).astype(op_dt).astype(jnp.float32)
-         * w1f[0][None, :]
-         + bearing.reshape(ti * tj, 1).astype(op_dt).astype(jnp.float32)
-         * w1f[1][None, :]
-         + dca.reshape(ti * tj, 1).astype(op_dt).astype(jnp.float32)
-         * w1f[2][None, :])
-    f = jnp.maximum(f + b1.astype(jnp.float32), 0.0)
+    f = jnp.stack([dist, bearing, dca], axis=-1).reshape(ti * tj, 3)
+    f = jnp.maximum(
+        jnp.dot(f.astype(op_dt), w1, preferred_element_type=jnp.float32)
+        + b1.astype(jnp.float32), 0.0)
     f = jnp.maximum(
         jnp.dot(f.astype(op_dt), w2, preferred_element_type=jnp.float32)
         + b2.astype(jnp.float32), 0.0)
