@@ -110,7 +110,7 @@ def main():
         r["flags"] = {"max_scene": args.max_scene_size,
                       "remat": args.remat_steps,
                       "serial": args.serial_rollout, "bf16": args.bf16,
-                      "unroll": args.unroll}
+                      "unroll": args.unroll, "grad_accum": args.grad_accum}
         print(json.dumps(r), flush=True)
         results.append(r)
         if not r["ok"]:

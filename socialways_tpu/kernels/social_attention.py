@@ -217,12 +217,20 @@ def _tile_bands(sent: jnp.ndarray, n_tot: int, trow: int, tcol: int):
 
 
 def _pallas_forward(params: Dict, x4_last: jnp.ndarray, h: jnp.ndarray,
-                    scene_ids: jnp.ndarray, *, ti: int = 128,
+                    scene_ids: jnp.ndarray, *, ti: int = 0,
                     tj: int = 64, mlp_chunks: int = 1,
                     interpret: bool = False,
                     with_stats: bool = False):
     n, hdim = h.shape
     feat = params["attn_w"]["w"].shape[1]
+    if not ti:
+        # tile A/B (benchmarks/attention_tile_ab_r2s4.json, …_r2s5_*.json):
+        # f32 in its dispatch range (≤16k agents) runs fastest with 64×64
+        # tiles (0.28 vs 0.35 ms at 10k/scene-64) and compiles ~2× faster;
+        # bf16 — whose point is the 32k capacity regime — wins with 128×64
+        # there (0.94 vs 1.06 ms).  with_stats keeps ti=128 so the padded
+        # out/stats stay aligned to the backward pair's tile_big=128.
+        ti = 128 if (with_stats or h.dtype == jnp.bfloat16) else 64
 
     # pad the agent axis to a tile multiple; padding gets scene id −1
     tile = max(ti, tj)
