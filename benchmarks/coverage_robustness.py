@@ -80,6 +80,25 @@ RECIPES = {
                 "--auto-recover", "--block-size", "1000",
                 "--info-weight", "2.0", "--stall-recover", "4",
                 "--stall-reset-d"],
+    # session-5 structural anti-collapse arms: PacGAN packing (D sees
+    # pairs — low within-pack diversity is directly classifiable) and
+    # annealed D instance noise (support overlap keeps D's boundary from
+    # sharpening onto single modes)
+    "robust1+pac2": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                     "10000", "--auto-recover", "--block-size", "1000",
+                     "--info-weight", "1.0", "--pac", "2"],
+    "robust1+inoise": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                       "10000", "--auto-recover", "--block-size", "1000",
+                       "--info-weight", "1.0", "--d-input-noise", "0.1",
+                       "--d-input-noise-steps", "30000"],
+    "robust1+info2+pac2": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                           "10000", "--auto-recover", "--block-size",
+                           "1000", "--info-weight", "2.0", "--pac", "2"],
+    "robust1+info2+inoise": ["--d-lr-decay-rate", "0.7",
+                             "--d-lr-decay-steps", "10000",
+                             "--auto-recover", "--block-size", "1000",
+                             "--info-weight", "2.0", "--d-input-noise",
+                             "0.1", "--d-input-noise-steps", "30000"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",

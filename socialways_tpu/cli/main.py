@@ -91,6 +91,20 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    choices=["uniform", "gaussian"],
                    help="generator noise distribution (the reference uses "
                         "U(0,1), torch.rand at train.py:473)")
+    p.add_argument("--d-input-noise", type=float, default=0.0,
+                   help="D instance noise: Gaussian std added to the "
+                        "prediction inputs of every D evaluation (fake "
+                        "and real), a classic support-overlap stabilizer "
+                        "(0 = off, reference behavior)")
+    p.add_argument("--d-input-noise-steps", type=int, default=0,
+                   help="anneal --d-input-noise linearly to 0 over this "
+                        "many GAN steps (0 = constant)")
+    p.add_argument("--pac", type=int, default=1,
+                   help="PacGAN: the LSGAN classifier scores packs of "
+                        "this many consecutive samples (one label per "
+                        "pack) so mode collapse is directly visible to "
+                        "D; the InfoGAN Q-head stays per-sample (1 = "
+                        "off, reference parity)")
     p.add_argument("--lr-decay-rate", type=float, default=1.0,
                    help="staircase exponential lr decay factor for both "
                         "optimizers (1.0 = constant, reference behavior)")
@@ -193,6 +207,9 @@ def _cfg_from_args(args) -> "TrainConfig":
         latent_code_type=getattr(args, "latent_code", "continuous"),
         noise_dist=getattr(args, "noise_dist", "uniform"),
         r1_gamma=getattr(args, "r1_gamma", 0.0),
+        d_input_noise=getattr(args, "d_input_noise", 0.0),
+        d_input_noise_steps=getattr(args, "d_input_noise_steps", 0),
+        pac=getattr(args, "pac", 1),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

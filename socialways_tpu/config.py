@@ -111,6 +111,25 @@ class TrainConfig:
     # (reference behavior).  A stability knob for the divergence cliffs
     # the info-weight sweeps exposed (BASELINE.md).
     r1_gamma: float = 0.0
+    # D instance noise (Sønderby et al. 2017 / Arjovsky & Bottou 2017):
+    # Gaussian noise of std d_input_noise added to the PREDICTION inputs
+    # of every D evaluation (fake and real futures alike; the shared
+    # observation branch stays clean) — overlaps the real/fake supports so
+    # D's decision boundary can't sharpen onto single modes.  With
+    # d_input_noise_steps > 0 the std decays linearly to 0 over that many
+    # GAN steps (the classic anneal); 0 keeps it constant.  0.0 = off
+    # (reference parity).
+    d_input_noise: float = 0.0
+    d_input_noise_steps: int = 0
+    # PacGAN (Lin et al. 2018): the LSGAN classifier head scores PACKS of
+    # `pac` consecutive samples (their concatenated obsv+pred codes) with
+    # one real/fake label per pack — mode collapse becomes directly
+    # visible to D as low within-pack diversity.  Rows are scene-sorted,
+    # so packs are same-scene/condition — exactly the axis the toy's
+    # coverage metric measures.  The InfoGAN Q-head stays per-sample.
+    # Requires batch rows divisible by pac (padded batches are).  1 = off
+    # (reference parity).
+    pac: int = 1
     use_social: bool = False     # reference default (train.py:83) — paper's
                                  # attention is OFF by default; expose both.
 

@@ -79,10 +79,14 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
 def lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
                  zeros_target, ones_target, use_info_loss: bool,
                  loss_info_w: float, n_latent_codes: int,
-                 latent_code_type: str = "continuous"):
-    """Discriminator loss (train.py:482-494). Labels are [N, 1]."""
-    loss = (masked_mse(fake_label, zeros_target, valid)
-            + masked_mse(real_label, ones_target, valid))
+                 latent_code_type: str = "continuous", label_valid=None):
+    """Discriminator loss (train.py:482-494). Labels are [N, 1] — or, under
+    PacGAN, [N/pac, 1] with ``label_valid`` the per-pack validity (the info
+    term stays per-sample on ``valid``)."""
+    lv = valid if label_valid is None else label_valid
+    m = fake_label.shape[0]
+    loss = (masked_mse(fake_label, zeros_target[:m], lv)
+            + masked_mse(real_label, ones_target[:m], lv))
     if use_info_loss:
         loss = loss + loss_info_w * info_loss(
             fake_code, noise, valid, n_latent_codes, latent_code_type)
@@ -91,9 +95,13 @@ def lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
 
 def lsgan_g_loss(gen_label, gen_code, noise, valid, ones_target,
                  use_info_loss: bool, loss_info_w: float,
-                 n_latent_codes: int, latent_code_type: str = "continuous"):
-    """Generator fooling (+ info) loss (train.py:510-523)."""
-    loss = masked_mse(gen_label, ones_target, valid)
+                 n_latent_codes: int, latent_code_type: str = "continuous",
+                 label_valid=None):
+    """Generator fooling (+ info) loss (train.py:510-523).  ``label_valid``
+    as in :func:`lsgan_d_loss`."""
+    lv = valid if label_valid is None else label_valid
+    m = gen_label.shape[0]
+    loss = masked_mse(gen_label, ones_target[:m], lv)
     if use_info_loss:
         loss = loss + loss_info_w * info_loss(
             gen_code, noise, valid, n_latent_codes, latent_code_type)

@@ -166,6 +166,15 @@ def gan_step(
     pred = batch["preds"].astype(dtype)
     scene_ids, valid = batch["scene_ids"], batch["valid"]
     n = obsv.shape[0]
+    if cfg.pac > 1 and n % cfg.pac:
+        raise ValueError(f"batch rows {n} not divisible by pac {cfg.pac}")
+
+    def group_valid(v):
+        """Per-pack validity for the PacGAN classifier: a pack counts only
+        when ALL its samples are valid (packs are consecutive rows; padding
+        sits at the batch tail, so at most one pack is mixed)."""
+        return v if cfg.pac == 1 else jnp.all(
+            v.reshape(-1, cfg.pac), axis=1)
 
     k_noise, k_zero, k_one, k_var = jax.random.split(rng, 4)
     if axis_name is not None:
@@ -230,6 +239,9 @@ def gan_step(
             raise ValueError(f"batch rows {n} not divisible by "
                              f"grad_accum {cfg.grad_accum}")
         n_chunk = n // cfg.grad_accum
+        if cfg.pac > 1 and n_chunk % cfg.pac:
+            raise ValueError(f"micro-chunk rows {n_chunk} not divisible "
+                             f"by pac {cfg.pac}")
 
         def chunk(t):
             return t.reshape((cfg.grad_accum, n_chunk) + t.shape[1:])
@@ -281,6 +293,32 @@ def gan_step(
             lambda gp: rollout(gp, noise), state.g_params)
     pred_hat_4d_d = jax.lax.stop_gradient(pred_hat_fwd)
 
+    # ---- D instance noise (cfg.d_input_noise > 0) -------------------------
+    # Gaussian noise on the prediction inputs of every D evaluation (fake
+    # AND real futures; the shared observation branch stays clean), std
+    # annealed linearly to 0 over d_input_noise_steps GAN steps.  One draw
+    # per phase, shared across the D unroll steps (consistent with the
+    # shared fake rollout); the G phase gets a fresh draw.  The key derives
+    # via fold_in so existing configs' noise streams are untouched.
+    pred_4d_d, eps_g, sigma = pred_4d, None, None
+    if cfg.d_input_noise > 0:
+        step0 = _g_step_count(state.g_opt).astype(dtype)
+        if cfg.d_input_noise_steps > 0:
+            sigma = cfg.d_input_noise * jnp.maximum(
+                0.0, 1.0 - step0 / cfg.d_input_noise_steps)
+        else:
+            sigma = jnp.asarray(cfg.d_input_noise, dtype)
+        kf, kr, kg = jax.random.split(jax.random.fold_in(rng, 13), 3)
+        pred_hat_4d_d = pred_hat_4d_d + sigma * jax.random.normal(
+            kf, pred_hat_4d_d.shape, dtype)
+        pred_4d_d = pred_4d + sigma * jax.random.normal(
+            kr, pred_4d.shape, dtype)
+        eps_g = jax.random.normal(kg, pred_hat_4d_d.shape, dtype)
+        if accum:
+            mb["pred_hat"] = chunk(pred_hat_4d_d)
+            mb["pred_4d"] = chunk(pred_4d_d)
+            mb["eps_g"] = chunk(eps_g)
+
     # ---------------- D phase: n_unrolling_steps + 1 updates --------------
     # the observation branch is shared between the fake and real passes
     # (the reference runs the full D twice, train.py:482-487); encode once
@@ -295,20 +333,25 @@ def gan_step(
         obsv_code = encode_obsv(dp, cast(obsv_4d_), cfg.remat_steps)
         labels, codes = discriminator_heads(
             dp, obsv_code,
-            cast(jnp.concatenate([pred_hat_, pred_4d_], axis=0)))
+            cast(jnp.concatenate([pred_hat_, pred_4d_], axis=0)), cfg.pac)
         labels, codes = labels.astype(dtype), codes.astype(dtype)
-        fake_label, real_label = labels[:nn], labels[nn:]
+        # pac > 1: one label per pack — the fake block is the first
+        # nn/pac labels (nn % pac == 0, so no pack straddles the boundary)
+        np_ = nn // cfg.pac
+        fake_label, real_label = labels[:np_], labels[np_:]
         fake_code = codes[:nn]
+        gv = group_valid(valid_)
         loss = lsgan_d_loss(fake_label, real_label, fake_code, noise_,
                             valid_, zeros_, ones_, cfg.use_info_loss,
                             cfg.loss_info_w, cfg.n_latent_codes,
-                            cfg.latent_code_type)
+                            cfg.latent_code_type, label_valid=gv)
         if cfg.r1_gamma > 0:
             # R1: penalize ‖∇_pred D(obsv, pred_real)‖² (second-order grads
             # flow through this when the loss is differentiated)
             def real_label_sum(p4):
-                lbl, _ = discriminator_heads(dp, obsv_code, cast(p4))
-                return jnp.sum(lbl.astype(dtype) * valid_[:, None])
+                lbl, _ = discriminator_heads(dp, obsv_code, cast(p4),
+                                             cfg.pac)
+                return jnp.sum(lbl.astype(dtype) * gv[:, None])
             g_real = jax.grad(real_label_sum)(pred_4d_)
             per = jnp.sum(g_real.reshape(nn, -1) ** 2, axis=-1)
             r1 = jnp.sum(jnp.where(valid_, per, 0.0)) / jnp.maximum(
@@ -317,7 +360,7 @@ def gan_step(
         return loss
 
     def d_loss_fn(d_params):
-        return _d_loss_parts(d_params, obsv_4d, pred_hat_4d_d, pred_4d,
+        return _d_loss_parts(d_params, obsv_4d, pred_hat_4d_d, pred_4d_d,
                              noise, valid, zeros_t, ones_t)
 
     def _d_chunk_loss(d_params, cb):
@@ -388,15 +431,18 @@ def gan_step(
     def g_head_loss(pred_hat_4d, g_params):
         """G loss as a function of the rollout output (and, for the
         variety path only, of g_params through extra rollouts)."""
+        ph_in = (pred_hat_4d if eps_g is None
+                 else pred_hat_4d + sigma * eps_g)
         gen_label, gen_code = discriminator_apply(cast(d_params),
                                                   cast(obsv_4d),
-                                                  cast(pred_hat_4d),
-                                                  cfg.remat_steps)
+                                                  cast(ph_in),
+                                                  cfg.remat_steps, cfg.pac)
         gen_label = gen_label.astype(dtype)
         gen_code = gen_code.astype(dtype)
         loss = lsgan_g_loss(gen_label, gen_code, noise, valid, ones_t,
                             cfg.use_info_loss, cfg.loss_info_w,
-                            cfg.n_latent_codes, cfg.latent_code_type)
+                            cfg.n_latent_codes, cfg.latent_code_type,
+                            label_valid=group_valid(valid))
         if cfg.use_l2_loss:
             loss = loss + cfg.loss_l2_w * l2_traj_loss(
                 pred_hat_4d[..., :2], pred, valid)
@@ -412,14 +458,16 @@ def gan_step(
         def _g_chunk_loss(g_params, cb):
             ph = rollout_on(g_params, cb["obsv"], cb["noise"],
                             cb["scene_ids"])
+            ph_in = ph if eps_g is None else ph + sigma * cb["eps_g"]
             gen_label, gen_code = discriminator_apply(
-                cast(d_params), cast(cb["obsv_4d"]), cast(ph),
-                cfg.remat_steps)
+                cast(d_params), cast(cb["obsv_4d"]), cast(ph_in),
+                cfg.remat_steps, cfg.pac)
             loss = lsgan_g_loss(gen_label.astype(dtype),
                                 gen_code.astype(dtype), cb["noise"],
                                 cb["valid"], cb["ones"], cfg.use_info_loss,
                                 cfg.loss_info_w, cfg.n_latent_codes,
-                                cfg.latent_code_type)
+                                cfg.latent_code_type,
+                                label_valid=group_valid(cb["valid"]))
             if cfg.use_l2_loss:
                 loss = loss + cfg.loss_l2_w * l2_traj_loss(
                     ph[..., :2], cb["pred"], cb["valid"])

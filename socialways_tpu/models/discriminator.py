@@ -30,11 +30,13 @@ def init_discriminator(key: jax.Array, cfg: TrainConfig,
                        dtype=jnp.float32) -> Dict:
     h = cfg.hidden_size
     keys = jax.random.split(key, 5)
+    # PacGAN (cfg.pac > 1): the classifier scores packs of `pac` samples —
+    # its input is the pack's concatenated obsv+pred codes
     return {
         "obsv_lstm": lstm_init(keys[0], 4, h, dtype),
         "obsv_fc": mlp_init(keys[1], [h, h // 2, h // 2], dtype),
         "pred_fc": mlp_init(keys[2], [cfg.n_next * 4, h // 2, h // 2], dtype),
-        "classifier": mlp_init(keys[3], [h, h // 2, 1], dtype),
+        "classifier": mlp_init(keys[3], [h * cfg.pac, h // 2, 1], dtype),
         "latent_dec": mlp_init(keys[4], [h, h // 2, cfg.n_latent_codes],
                                dtype),
     }
@@ -59,30 +61,35 @@ def encode_obsv(params: Dict, obsv_4d: jnp.ndarray,
 
 
 def discriminator_heads(params: Dict, obsv_code: jnp.ndarray,
-                        pred_4d: jnp.ndarray
+                        pred_4d: jnp.ndarray, pac: int = 1
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prediction branch + classifier + Q-head, given a (possibly shared)
     observation code.  pred_4d may batch multiple futures per observation:
-    [K*N, n_next, 4] with obsv_code [N, ...] is tiled to match."""
+    [K*N, n_next, 4] with obsv_code [N, ...] is tiled to match.
+
+    With ``pac > 1`` (PacGAN) the classifier scores packs of ``pac``
+    consecutive samples — label is [M/pac, 1]; the Q-head stays
+    per-sample ([M, n_latent_codes])."""
     m = pred_4d.shape[0]
     if obsv_code.shape[0] != m:
         reps = m // obsv_code.shape[0]
         obsv_code = jnp.concatenate([obsv_code] * reps, axis=0)
     pred_code = _fc2(params["pred_fc"], pred_4d.reshape(m, -1))
     both = jnp.concatenate([obsv_code, pred_code], axis=-1)
-    label = _fc2(params["classifier"], both)
+    label = _fc2(params["classifier"],
+                 both.reshape(m // pac, -1) if pac > 1 else both)
     code_hat = _fc2(params["latent_dec"], both)
     return label, code_hat
 
 
 def discriminator_apply(params: Dict, obsv_4d: jnp.ndarray,
                         pred_4d: jnp.ndarray,
-                        remat: bool = False
+                        remat: bool = False, pac: int = 1
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """obsv_4d [N, n_past, 4], pred_4d [N, n_next, 4] →
-    (label [N, 1], code_hat [N, n_latent_codes])."""
+    (label [N/pac, 1], code_hat [N, n_latent_codes])."""
     return discriminator_heads(params, encode_obsv(params, obsv_4d, remat),
-                               pred_4d)
+                               pred_4d, pac)
 
 
 def restore_linear_only(backup: Dict, current: Dict) -> Dict:

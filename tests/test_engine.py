@@ -684,3 +684,95 @@ def test_grad_accum_rejects_bad_shapes():
     state_v = init_train_state(jax.random.PRNGKey(0), cfg_v)
     with pytest.raises(ValueError, match="variety"):
         gan_step(state_v, _batch(n=8), jax.random.PRNGKey(1), cfg_v)
+
+
+# -------------------------------------------------- PacGAN + instance noise
+def test_pac_classifier_scores_packs():
+    """pac=2: classifier input is h*pac wide, one label per pack, Q-head
+    per-sample; the GAN step runs and updates both players."""
+    from socialways_tpu.models.discriminator import discriminator_apply
+    from socialways_tpu.ops.traj import get_traj_4d
+
+    cfg = CFG.replace(pac=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert (state.d_params["classifier"][0]["w"].shape[0]
+            == cfg.hidden_size * 2)
+    batch = _batch(n=8, n_valid=5)  # pack (4,5) mixes valid+pad -> dropped
+    o4, p4 = get_traj_4d(batch["obsvs"], batch["preds"])
+    label, code = discriminator_apply(state.d_params, o4, p4, pac=2)
+    assert label.shape == (4, 1)
+    assert code.shape == (8, cfg.n_latent_codes)
+    new_state, m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+    d_delta = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, new_state.d_params,
+                               state.d_params), 0.0)
+    assert d_delta > 0
+
+
+def test_pac_group_valid_drops_mixed_packs():
+    """A pack with any padded sample contributes nothing to the label loss:
+    corrupting a padded row's prediction must not change the losses."""
+    cfg = CFG.replace(pac=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch(n=8, n_valid=5)
+    step = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))
+    _, m1 = step(state, batch, jax.random.PRNGKey(1))
+    poisoned = dict(batch)
+    poisoned["preds"] = batch["preds"].at[6].set(1e4)  # padded row
+    _, m2 = step(state, poisoned, jax.random.PRNGKey(1))
+    assert float(m1.d_loss) == pytest.approx(float(m2.d_loss), rel=1e-6)
+    assert float(m1.g_loss) == pytest.approx(float(m2.g_loss), rel=1e-6)
+
+
+def test_pac_rejects_indivisible_batch():
+    cfg = CFG.replace(pac=3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="pac"):
+        gan_step(state, _batch(n=8), jax.random.PRNGKey(1), cfg)
+
+
+def test_pac_grad_accum_composes():
+    cfg = CFG.replace(pac=2, grad_accum=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    _, m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, _batch(n=8), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+
+
+def test_d_input_noise_perturbs_then_anneals_to_parity():
+    """Instance noise changes the D loss while active; after the anneal
+    window (sigma=0) the step equals the no-noise step exactly."""
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = _batch()
+    key = jax.random.PRNGKey(1)
+    base = jax.jit(lambda s, b, r: gan_step(s, b, r, CFG))
+    cfg_n = CFG.replace(d_input_noise=0.5)
+    noisy = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_n))
+    _, m_base = base(state, batch, key)
+    _, m_noisy = noisy(state, batch, key)
+    assert float(m_base.d_loss) != float(m_noisy.d_loss)
+    assert np.isfinite(float(m_noisy.d_loss))
+    assert np.isfinite(float(m_noisy.g_loss))
+
+    # advance one step so the G Adam count is 1 >= anneal window of 1
+    s1, _ = base(state, batch, key)
+    cfg_ann = CFG.replace(d_input_noise=0.5, d_input_noise_steps=1)
+    key2 = jax.random.PRNGKey(2)
+    _, m_ann = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_ann))(
+        s1, batch, key2)
+    _, m_ref = base(s1, batch, key2)
+    assert float(m_ann.d_loss) == pytest.approx(float(m_ref.d_loss),
+                                                rel=1e-6)
+    assert float(m_ann.g_loss) == pytest.approx(float(m_ref.g_loss),
+                                                rel=1e-6)
+
+
+def test_d_input_noise_with_grad_accum():
+    cfg = CFG.replace(d_input_noise=0.3, grad_accum=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    _, m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, _batch(n=8), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
