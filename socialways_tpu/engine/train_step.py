@@ -309,11 +309,21 @@ def gan_step(
         else:
             sigma = jnp.asarray(cfg.d_input_noise, dtype)
         kf, kr, kg = jax.random.split(jax.random.fold_in(rng, 13), 3)
-        pred_hat_4d_d = pred_hat_4d_d + sigma * jax.random.normal(
-            kf, pred_hat_4d_d.shape, dtype)
-        pred_4d_d = pred_4d + sigma * jax.random.normal(
-            kr, pred_4d.shape, dtype)
-        eps_g = jax.random.normal(kg, pred_hat_4d_d.shape, dtype)
+
+        def draw_eps(key, shape):
+            # same global-draw-and-slice trick as draw_noise: under DP each
+            # shard draws the global batch's eps and keeps its own rows, so
+            # the sharded step consumes exactly the single-device stream
+            if axis_name is None:
+                return jax.random.normal(key, shape, dtype)
+            e = jax.random.normal(
+                key, (shape[0] * axis_size,) + shape[1:], dtype)
+            return jax.lax.dynamic_slice_in_dim(e, row0, shape[0])
+
+        pred_hat_4d_d = pred_hat_4d_d + sigma * draw_eps(
+            kf, pred_hat_4d_d.shape)
+        pred_4d_d = pred_4d + sigma * draw_eps(kr, pred_4d.shape)
+        eps_g = draw_eps(kg, pred_hat_4d_d.shape)
         if accum:
             mb["pred_hat"] = chunk(pred_hat_4d_d)
             mb["pred_4d"] = chunk(pred_4d_d)

@@ -413,3 +413,23 @@ def test_dp_eval_matches_single_device_exactly(mesh):
     assert int(dp.n_samples) == int(sd.n_samples) == 64
     for a, b in zip(dp[:4], sd[:4]):
         np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_dp_instance_noise_matches_single_device(mesh):
+    """d_input_noise draws the GLOBAL batch's eps on every shard and slices
+    local rows (like draw_noise), so the DP step consumes exactly the
+    single-device noise stream — updates match the big-batch step."""
+    cfg = CFG.replace(n_unrolling_steps=0, d_input_noise=0.3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _global_batch(8, key=9)
+    dp_state, dp_m = make_dp_train_step(cfg, mesh)(
+        state, batch, jax.random.PRNGKey(11))
+    sd_state, sd_m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, jax.random.PRNGKey(11))
+    assert float(dp_m.d_loss) == pytest.approx(float(sd_m.d_loss), rel=1e-5)
+    assert float(dp_m.g_loss) == pytest.approx(float(sd_m.g_loss), rel=1e-5)
+    for dp_w, sd_w in zip(
+            jax.tree_util.tree_leaves(dp_state.g_params),
+            jax.tree_util.tree_leaves(sd_state.g_params)):
+        np.testing.assert_allclose(np.asarray(dp_w), np.asarray(sd_w),
+                                   rtol=2e-5, atol=2e-6)
