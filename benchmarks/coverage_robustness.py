@@ -99,6 +99,19 @@ RECIPES = {
                              "--auto-recover", "--block-size", "1000",
                              "--info-weight", "2.0", "--d-input-noise",
                              "0.1", "--d-input-noise-steps", "30000"],
+    # gentler noise annealed over the whole run: σ0.1/30k gave peaks of
+    # 1.0 and the best small-toy ADE but end-phase coverage oscillation
+    "robust1+inoise2": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                        "10000", "--auto-recover", "--block-size", "1000",
+                        "--info-weight", "1.0", "--d-input-noise", "0.05",
+                        "--d-input-noise-steps", "40000"],
+    # σ0.1 + stall rescue to catch the end-phase dip
+    "robust1+inoise+rescue": ["--d-lr-decay-rate", "0.7",
+                              "--d-lr-decay-steps", "10000",
+                              "--auto-recover", "--block-size", "1000",
+                              "--info-weight", "1.0", "--d-input-noise",
+                              "0.1", "--d-input-noise-steps", "30000",
+                              "--stall-recover", "4"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",
