@@ -14,6 +14,7 @@ Every hard-coded constant of the reference (train.py:53-84) is a flag here.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -142,6 +143,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default="",
                    help="write jax.profiler device traces for the first "
                         "post-compile epoch to this directory")
+    p.add_argument("--metrics-log", default="",
+                   help="append one JSON line per train/eval block to this "
+                        "file (machine-readable counterpart of the epoch "
+                        "prints; the reference logs via print only, "
+                        "SURVEY §5.5)")
     p.add_argument("--serial-rollout", action="store_true",
                    help="do not hold the G-rollout backward residuals "
                         "across the D phase (recompute the rollout for "
@@ -364,6 +370,9 @@ def cmd_train(args) -> int:
         print(f" Epc={epoch:4d}, Train ADE,FDE = ({m['train_ade']:.3f}, "
               f"{m['train_fde']:.3f}) | time = {m['epoch_time_s']:.2f}s"
               + (f" ({n_block} fused epochs)" if n_block > 1 else ""))
+        _log_metrics(args.metrics_log, kind="train", epoch=epoch,
+                     train_ade=m["train_ade"], train_fde=m["train_fde"],
+                     epoch_time_s=m["epoch_time_s"], n_block=n_block)
 
         # divergence detection + recovery (GANs destabilize on long runs;
         # the reference has no failure-handling story — SURVEY §5.3)
@@ -387,6 +396,9 @@ def cmd_train(args) -> int:
                   f"{ev['fde_avg']:.3f}) | Min({cfg.n_gen_samples}) ADE,FDE "
                   f"({cfg.n_next})= ({ev['ade_min']:.3f}, "
                   f"{ev['fde_min']:.3f})")
+            _log_metrics(args.metrics_log, kind="eval", epoch=epoch,
+                         ade_avg=ev["ade_avg"], fde_avg=ev["fde_avg"],
+                         ade_min=ev["ade_min"], fde_min=ev["fde_min"])
             # best-model tracking: the reference initializes min_train_ADE
             # but never uses it (train.py:636); we keep the best-eval model
             if ev["ade_min"] < best_ade:
@@ -396,6 +408,8 @@ def cmd_train(args) -> int:
             if args.track_coverage:
                 cov = _eval_coverage(trainer, state, ds, cfg, rng)
                 print(f"mode coverage = {cov:.2f}")
+                _log_metrics(args.metrics_log, kind="coverage",
+                             epoch=epoch, coverage=cov)
                 if cov > best_cov:
                     best_cov = cov
                     cov_stall = 0
@@ -441,6 +455,17 @@ def cmd_train(args) -> int:
         save_checkpoint(model_file, state, epoch, rng, ds.scale)
         print(f"saved final checkpoint to {model_file}")
     return 0
+
+
+def _log_metrics(path: str, **record) -> None:
+    """Append one JSON line to ``path`` (no-op when path is empty) — the
+    machine-readable counterpart of the train-loop prints."""
+    if not path:
+        return
+    import time
+    record["t"] = round(time.time(), 3)
+    with open(path, "a") as fh:
+        fh.write(json.dumps(record) + "\n")
 
 
 def _eval_coverage(trainer, state, ds, cfg, rng) -> float:
@@ -534,7 +559,6 @@ def cmd_sweep(args) -> int:
     """Grid over (n_unrolling_steps, loss_info_w): train each variant,
     score eval ADE/FDE + toy mode coverage + EMD (the reference compares
     these variants offline in calc_statistics.py:179-187)."""
-    import json
 
     import jax
     import jax.numpy as jnp
@@ -594,7 +618,6 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_eth_ucy(args) -> int:
-    import json
 
     from socialways_tpu.engine.ethucy import run_leave_one_out
 
