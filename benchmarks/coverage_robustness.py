@@ -105,6 +105,13 @@ RECIPES = {
                         "10000", "--auto-recover", "--block-size", "1000",
                         "--info-weight", "1.0", "--d-input-noise", "0.05",
                         "--d-input-noise-steps", "40000"],
+    # inoise2 + the big-toy info weight (2.0): the small-toy winner's
+    # noise schedule on the big toy's best base recipe
+    "robust1+info2+inoise2": ["--d-lr-decay-rate", "0.7",
+                              "--d-lr-decay-steps", "10000",
+                              "--auto-recover", "--block-size", "1000",
+                              "--info-weight", "2.0", "--d-input-noise",
+                              "0.05", "--d-input-noise-steps", "40000"],
     # σ0.1 + stall rescue to catch the end-phase dip
     "robust1+inoise+rescue": ["--d-lr-decay-rate", "0.7",
                               "--d-lr-decay-steps", "10000",
@@ -145,16 +152,27 @@ def ensure_toy(kind: str, workdir: str) -> str:
 def run_one(toy_npz: str, recipe: str, seed: int, epochs: int,
             workdir: str) -> dict:
     import shutil
+    import time
     model_dir = os.path.join(workdir, f"m_{recipe}_{seed}_{epochs}_"
                              f"{os.path.basename(toy_npz)}")
-    # a leftover checkpoint would auto-resume and skip the whole run
-    shutil.rmtree(model_dir, ignore_errors=True)
     cmd = [sys.executable, "-m", "socialways_tpu.cli.main", "train",
            "--data", toy_npz, "--epochs", str(epochs),
            "--seed", str(seed), "--model-dir", model_dir,
            ] + COMMON + RECIPES[recipe]
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                         timeout=7200)
+    for attempt in range(2):
+        # a leftover checkpoint would auto-resume and skip the whole run
+        shutil.rmtree(model_dir, ignore_errors=True)
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                             timeout=7200)
+        if out.returncode == 0:
+            break
+        # transient TPU/tunnel failures (the chip is single-client; after a
+        # process dies the next device contact can take ~4 min) — wait out
+        # the recovery window and retry once
+        if attempt == 0:
+            print(f"  retrying {recipe}/seed{seed} after failure "
+                  f"(tail: {out.stderr[-200:]!r})", flush=True)
+            time.sleep(240)
     if out.returncode != 0:
         return {"error": out.stderr[-1500:]}
     covs = [float(m) for m in _COV_RE.findall(out.stdout)]
