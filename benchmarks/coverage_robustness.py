@@ -162,8 +162,16 @@ def run_one(toy_npz: str, recipe: str, seed: int, epochs: int,
     for attempt in range(2):
         # a leftover checkpoint would auto-resume and skip the whole run
         shutil.rmtree(model_dir, ignore_errors=True)
-        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                             timeout=7200)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 cwd=REPO, timeout=7200)
+        except subprocess.TimeoutExpired as e:
+            # a wedged tunnel contact can hang a run with ~zero CPU use —
+            # observed: 1.5 h elapsed, 10 s CPU, nothing written
+            out = subprocess.CompletedProcess(
+                cmd, returncode=-1,
+                stderr=f"timeout after {e.timeout}s (hung TPU contact?)",
+                stdout="")
         if out.returncode == 0:
             break
         # transient TPU/tunnel failures (the chip is single-client; after a
