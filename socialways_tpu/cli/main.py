@@ -99,7 +99,8 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "(0 = off, reference behavior)")
     p.add_argument("--d-input-noise-steps", type=int, default=0,
                    help="anneal --d-input-noise linearly to 0 over this "
-                        "many GAN steps (0 = constant)")
+                        "many GAN steps (0 = constant; -1 = the whole "
+                        "planned run, epochs x chunks)")
     p.add_argument("--pac", type=int, default=1,
                    help="PacGAN: the LSGAN classifier scores packs of "
                         "this many consecutive samples (one label per "
@@ -314,6 +315,15 @@ def cmd_train(args) -> int:
         mesh = make_mesh(args.mesh)
     trainer = Trainer(cfg, ds, mesh=mesh)
     cfg = trainer.cfg  # n_past/n_next filled from data
+    if cfg.d_input_noise_steps < 0:
+        # -1 = anneal over the whole planned run (steps = epochs × chunks;
+        # the 80k sweeps showed coverage drifts once training continues
+        # noise-free, so the anneal horizon should match the run length)
+        total = cfg.n_epochs * trainer.train_packed.n_chunks
+        cfg = cfg.replace(d_input_noise_steps=total)
+        trainer = Trainer(cfg, ds, mesh=mesh)
+        cfg = trainer.cfg
+        print(f"instance-noise anneal over the full run: {total} GAN steps")
 
     model_file = os.path.join(cfg.model_dir,
                               f"{args.model}-{cfg.dataset}.npz")
