@@ -389,7 +389,35 @@ def get_reference_baseline(use_social: bool = False) -> float:
     return cache[key]
 
 
+def _wait_for_axon(max_wait_s: int = 900) -> None:
+    """Pre-flight for the axon TPU relay (the container's only device
+    path).  A dead relay makes the first jax op HANG indefinitely (wall
+    hours, ~0 CPU — see CLAUDE.md); probe the endpoint with a socket and
+    wait bounded time for recovery so the bench either runs or fails
+    fast with a diagnosable JSON line."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return                                   # not tunneled (CPU/dev box)
+    import socket
+    import time
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+                return
+        except OSError:
+            if time.time() > deadline:
+                print(json.dumps({
+                    "metric": "gan_train_steps_per_sec_per_chip",
+                    "value": 0, "unit": "steps/s", "vs_baseline": 0,
+                    "error": f"axon relay 127.0.0.1:8083 unreachable for "
+                             f"{max_wait_s}s — TPU tunnel down",
+                }))
+                sys.exit(1)
+            time.sleep(15)
+
+
 def main():
+    _wait_for_axon()
     steps_per_sec, platform = _bench_ours()
     scanned_sps = _bench_ours_scanned()
     bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
