@@ -119,6 +119,19 @@ RECIPES = {
                               "--info-weight", "1.0", "--d-input-noise",
                               "0.1", "--d-input-noise-steps", "30000",
                               "--stall-recover", "4"],
+    # session-6: anneal horizon matched to the run length via steps=-1
+    # (the 80k arms showed coverage drifts once training continues
+    # noise-free; -1 resolves to epochs × chunks inside cli train)
+    "robust1+inoisefull": ["--d-lr-decay-rate", "0.7",
+                           "--d-lr-decay-steps", "10000",
+                           "--auto-recover", "--block-size", "1000",
+                           "--info-weight", "1.0", "--d-input-noise",
+                           "0.05", "--d-input-noise-steps", "-1"],
+    "robust1+info2+inoisefull": ["--d-lr-decay-rate", "0.7",
+                                 "--d-lr-decay-steps", "10000",
+                                 "--auto-recover", "--block-size", "1000",
+                                 "--info-weight", "2.0", "--d-input-noise",
+                                 "0.05", "--d-input-noise-steps", "-1"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",
@@ -150,15 +163,16 @@ def ensure_toy(kind: str, workdir: str) -> str:
 
 
 def run_one(toy_npz: str, recipe: str, seed: int, epochs: int,
-            workdir: str) -> dict:
+            workdir: str, cpu: bool = False) -> dict:
     import shutil
     import time
     model_dir = os.path.join(workdir, f"m_{recipe}_{seed}_{epochs}_"
                              f"{os.path.basename(toy_npz)}")
-    cmd = [sys.executable, "-m", "socialways_tpu.cli.main", "train",
-           "--data", toy_npz, "--epochs", str(epochs),
-           "--seed", str(seed), "--model-dir", model_dir,
-           ] + COMMON + RECIPES[recipe]
+    cmd = ([sys.executable, "-m", "socialways_tpu.cli.main"]
+           + (["--cpu"] if cpu else [])       # global flag: pre-subcommand
+           + ["train", "--data", toy_npz, "--epochs", str(epochs),
+              "--seed", str(seed), "--model-dir", model_dir,
+              ] + COMMON + RECIPES[recipe])
     for attempt in range(2):
         # a leftover checkpoint would auto-resume and skip the whole run
         shutil.rmtree(model_dir, ignore_errors=True)
@@ -205,6 +219,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=40000)
     ap.add_argument("--workdir", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in the train subprocesses "
+                         "(plumbing smoke tests while the TPU is busy/down)")
     args = ap.parse_args()
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="covrob_")
@@ -216,7 +233,7 @@ def main():
             for seed in [int(s) for s in args.seeds.split(",")]:
                 key = f"{toy}/{recipe}/seed{seed}"
                 results[key] = run_one(npz, recipe, seed, epochs,
-                                       workdir)
+                                       workdir, cpu=args.cpu)
                 print(key, results[key], flush=True)
                 if args.out:
                     with open(args.out, "w") as fh:
