@@ -132,6 +132,14 @@ RECIPES = {
                                  "--auto-recover", "--block-size", "1000",
                                  "--info-weight", "2.0", "--d-input-noise",
                                  "0.05", "--d-input-noise-steps", "-1"],
+    # SN-GAN spectral normalization: the Lipschitz-bound alternative to
+    # instance noise, alone and composed with the inoise winner
+    "robust1+sn": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                   "10000", "--auto-recover", "--block-size", "1000",
+                   "--info-weight", "1.0", "--spectral-norm"],
+    "robust1+info2+sn": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
+                         "10000", "--auto-recover", "--block-size", "1000",
+                         "--info-weight", "2.0", "--spectral-norm"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",

@@ -107,6 +107,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "pack) so mode collapse is directly visible to "
                         "D; the InfoGAN Q-head stays per-sample (1 = "
                         "off, reference parity)")
+    p.add_argument("--spectral-norm", action="store_true",
+                   help="SN-GAN: spectrally normalize D's feed-forward "
+                        "Linear weights at every evaluation (stateless "
+                        "power iteration; Q-head and LSTM untouched) — "
+                        "bounds D's Lipschitz constant (off = reference "
+                        "parity)")
     p.add_argument("--lr-decay-rate", type=float, default=1.0,
                    help="staircase exponential lr decay factor for both "
                         "optimizers (1.0 = constant, reference behavior)")
@@ -217,6 +223,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         d_input_noise=getattr(args, "d_input_noise", 0.0),
         d_input_noise_steps=getattr(args, "d_input_noise_steps", 0),
         pac=getattr(args, "pac", 1),
+        spectral_norm=getattr(args, "spectral_norm", False),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

@@ -121,6 +121,14 @@ class TrainConfig:
     # (reference parity).
     d_input_noise: float = 0.0
     d_input_noise_steps: int = 0
+    # Spectral normalization of D's feed-forward Linear weights (SN-GAN,
+    # Miyato et al. 2018): every evaluation divides each FC ``w`` by its
+    # top singular value (stateless power iteration — see
+    # models.discriminator.spectral_normalize_d for what is and isn't
+    # normalized).  Bounds D's Lipschitz constant, the classic alternative
+    # to instance noise for keeping D's boundary from sharpening onto
+    # single modes.  False = off (reference parity).
+    spectral_norm: bool = False
     # PacGAN (Lin et al. 2018): the LSGAN classifier head scores PACKS of
     # `pac` consecutive samples (their concatenated obsv+pred codes) with
     # one real/fake label per pack — mode collapse becomes directly

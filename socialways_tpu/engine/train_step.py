@@ -334,12 +334,16 @@ def gan_step(
     # (the reference runs the full D twice, train.py:482-487); encode once
     # and run both futures through the heads as one [2N] batch
     from socialways_tpu.models.discriminator import (discriminator_heads,
-                                                     encode_obsv)
+                                                     encode_obsv,
+                                                     spectral_normalize_d)
+
+    _sn = (spectral_normalize_d if cfg.spectral_norm
+           else (lambda p: p))    # SN-GAN: normalize at every D evaluation
 
     def _d_loss_parts(d_params, obsv_4d_, pred_hat_, pred_4d_, noise_,
                       valid_, zeros_, ones_):
         nn = obsv_4d_.shape[0]
-        dp = cast(d_params)
+        dp = cast(_sn(d_params))
         obsv_code = encode_obsv(dp, cast(obsv_4d_), cfg.remat_steps)
         labels, codes = discriminator_heads(
             dp, obsv_code,
@@ -438,12 +442,14 @@ def gan_step(
         d_backup = None
 
     # ---------------- G phase against the unrolled D -----------------------
+    d_params_g = _sn(d_params)   # fixed through the G phase: normalize once
+
     def g_head_loss(pred_hat_4d, g_params):
         """G loss as a function of the rollout output (and, for the
         variety path only, of g_params through extra rollouts)."""
         ph_in = (pred_hat_4d if eps_g is None
                  else pred_hat_4d + sigma * eps_g)
-        gen_label, gen_code = discriminator_apply(cast(d_params),
+        gen_label, gen_code = discriminator_apply(cast(d_params_g),
                                                   cast(obsv_4d),
                                                   cast(ph_in),
                                                   cfg.remat_steps, cfg.pac)
@@ -470,7 +476,7 @@ def gan_step(
                             cb["scene_ids"])
             ph_in = ph if eps_g is None else ph + sigma * cb["eps_g"]
             gen_label, gen_code = discriminator_apply(
-                cast(d_params), cast(cb["obsv_4d"]), cast(ph_in),
+                cast(d_params_g), cast(cb["obsv_4d"]), cast(ph_in),
                 cfg.remat_steps, cfg.pac)
             loss = lsgan_g_loss(gen_label.astype(dtype),
                                 gen_code.astype(dtype), cb["noise"],

@@ -92,6 +92,27 @@ def discriminator_apply(params: Dict, obsv_4d: jnp.ndarray,
                                pred_4d, pac)
 
 
+def spectral_normalize_d(params: Dict, n_iters: int = 30) -> Dict:
+    """Spectrally normalize the discriminator's feed-forward Linear weights
+    (SN-GAN): every ``w`` in the obsv/pred branches and the classifier is
+    divided by its top singular value (power-iteration estimate,
+    ops.nn.spectral_normalize).  Biases, the obsv LSTM and the Q-head
+    (``latent_dec``) are left untouched — constraining Q's Lipschitz bound
+    directly fights the InfoGAN reconstruction objective, and D's
+    real/fake decision path is fully normalized without it.
+
+    Stateless: called at every D evaluation on the raw (trained) weights,
+    so checkpoints store unnormalized parameters and the flag can be
+    toggled mid-training.
+    """
+    from socialways_tpu.ops.nn import spectral_normalize
+    out = dict(params)
+    for k in ("obsv_fc", "pred_fc", "classifier"):
+        out[k] = [{"w": spectral_normalize(layer["w"], n_iters),
+                   "b": layer["b"]} for layer in params[k]]
+    return out
+
+
 def restore_linear_only(backup: Dict, current: Dict) -> Dict:
     """Replicate the reference's buggy partial restore (train.py:311-316):
     take FC weights from ``backup`` but keep ``current``'s LSTM weights."""

@@ -47,6 +47,33 @@ def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope)
 
 
+def spectral_normalize(w: jnp.ndarray, n_iters: int = 30,
+                       eps: float = 1e-12) -> jnp.ndarray:
+    """``w / sigma_max(w)`` with the top singular value estimated by power
+    iteration (SN-GAN, Miyato et al. 2018).
+
+    Pure-functional form of the usual stateful trick: instead of carrying a
+    persistent ``u`` buffer across steps, every call runs ``n_iters`` power
+    iterations from a fixed deterministic start vector.  The matrices here
+    are tiny (≤128×64 — D's FC blocks), so the extra matvecs are noise next
+    to the LSTM scans; in exchange the op stays stateless, jit-friendly and
+    checkpoint-compatible (no new state fields).  ``u``/``v`` are
+    stop-gradiented, so the gradient flows through ``w`` in both the
+    numerator and ``sigma = u @ w @ v`` — matching the reference SN-GAN
+    backward.
+    """
+    u = jnp.full((w.shape[0],), 1.0 / (w.shape[0] ** 0.5), w.dtype)
+    for _ in range(n_iters):
+        v = w.T @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u = w @ v
+        u = u / (jnp.linalg.norm(u) + eps)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ w @ v
+    return w / jnp.maximum(sigma, eps)
+
+
 def mlp_init(key: jax.Array, dims: Sequence[int], dtype=jnp.float32) -> list:
     """Chain of linear layers with the given dims, e.g. [3, 32, 64, 64]."""
     keys = jax.random.split(key, len(dims) - 1)

@@ -776,3 +776,59 @@ def test_d_input_noise_with_grad_accum():
     _, m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
         state, _batch(n=8), jax.random.PRNGKey(1))
     assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+
+
+# ------------------------------------------------------- spectral norm
+def test_spectral_normalize_unit_top_singular_value():
+    from socialways_tpu.ops.nn import spectral_normalize
+    rng = np.random.RandomState(3)
+    for shape in [(32, 16), (16, 1), (64, 32)]:
+        w = jnp.asarray(rng.randn(*shape).astype(np.float32) * 2.0)
+        w_sn = spectral_normalize(w)
+        top = np.linalg.svd(np.asarray(w_sn), compute_uv=False)[0]
+        assert top == pytest.approx(1.0, abs=1e-3)
+        # direction preserved, only a scalar rescale
+        ratio = np.asarray(w) / np.asarray(w_sn)
+        assert np.allclose(ratio, ratio.flat[0], rtol=1e-5)
+
+
+def test_spectral_normalize_d_scope():
+    """Only the FC branches + classifier are normalized; the Q-head and
+    the obsv LSTM keep their raw weights (see the docstring's rationale)."""
+    from socialways_tpu.models.discriminator import (init_discriminator,
+                                                     spectral_normalize_d)
+    params = init_discriminator(jax.random.PRNGKey(0), CFG)
+    sn = spectral_normalize_d(params)
+    for k in ("obsv_fc", "pred_fc", "classifier"):
+        for raw, done in zip(params[k], sn[k]):
+            top = np.linalg.svd(np.asarray(done["w"]),
+                                compute_uv=False)[0]
+            # uniform-init weights can have spectral gap ~0.97, where 30
+            # power iterations land within ~0.2% — plenty for SN-GAN
+            assert top == pytest.approx(1.0, abs=5e-3)
+            np.testing.assert_array_equal(np.asarray(raw["b"]),
+                                          np.asarray(done["b"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["latent_dec"][0]["w"]),
+        np.asarray(sn["latent_dec"][0]["w"]))
+    np.testing.assert_array_equal(np.asarray(params["obsv_lstm"]["w"]),
+                                  np.asarray(sn["obsv_lstm"]["w"]))
+
+
+def test_spectral_norm_gan_step_runs_and_differs():
+    cfg = CFG.replace(spectral_norm=True)
+    batch = _batch()
+    key = jax.random.PRNGKey(1)
+    s0 = init_train_state(jax.random.PRNGKey(0), CFG)
+    s_plain, m_plain = jax.jit(
+        lambda s, b, r: gan_step(s, b, r, CFG))(s0, batch, key)
+    s_sn, m_sn = jax.jit(
+        lambda s, b, r: gan_step(s, b, r, cfg))(s0, batch, key)
+    assert np.isfinite(float(m_sn.d_loss))
+    assert np.isfinite(float(m_sn.g_loss))
+    assert float(m_sn.d_loss) != float(m_plain.d_loss)
+    # both players still update under the normalized D
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s0.g_params, s_sn.g_params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
