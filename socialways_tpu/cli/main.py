@@ -84,6 +84,14 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "stall rescue — a fresh adversarial landscape "
                         "can push a collapsed code-to-mode mapping out "
                         "of its basin (D is small and relearns fast)")
+    p.add_argument("--rescue-keep-clock", action="store_true",
+                   help="checkpoint-restore rescues (--auto-recover, "
+                        "--stall-recover) keep the optimizer step counts "
+                        "on the monotonic wall clock instead of rewinding "
+                        "them — count-keyed schedules (--d-input-noise "
+                        "anneal, lr decay, --d-update-every switch) "
+                        "continue forward across a restore, so rescues "
+                        "compose with an active anneal")
     p.add_argument("--r1-gamma", type=float, default=0.0,
                    help="R1 gradient penalty weight on the real-data D "
                         "output (0 = off, reference behavior; a GAN "
@@ -398,7 +406,11 @@ def cmd_train(args) -> int:
                     or m["train_ade"] > 5 * best_train_ade + 0.1)
         best_train_ade = min(best_train_ade, m["train_ade"])
         if args.auto_recover and diverged and checkpoint_exists(best_file):
+            pre_rescue = state
             state, b_epoch, _, _ = restore_checkpoint(best_file, state)
+            if getattr(args, "rescue_keep_clock", False):
+                from socialways_tpu.engine import transplant_schedule_clock
+                state = transplant_schedule_clock(state, pre_rescue)
             print(f"DIVERGED at epoch {epoch} (ADE {m['train_ade']:.3f}); "
                   f"restored best checkpoint from epoch {b_epoch}")
 
@@ -439,8 +451,17 @@ def cmd_train(args) -> int:
                             and cov_stall >= args.stall_recover
                             and best_cov < 1.0
                             and checkpoint_exists(bestcov_file)):
+                        pre_rescue = state
                         state, c_epoch, _, _ = restore_checkpoint(
                             bestcov_file, state)
+                        if getattr(args, "rescue_keep_clock", False):
+                            from socialways_tpu.engine import \
+                                transplant_schedule_clock
+                            # keeps the sigma-anneal/lr-decay clocks
+                            # monotonic; a subsequent --stall-reset-d
+                            # still re-inits D's optimizer from 0
+                            state = transplant_schedule_clock(state,
+                                                              pre_rescue)
                         cov_stall = 0
                         extra = ""
                         if args.stall_reset_d:

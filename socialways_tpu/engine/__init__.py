@@ -5,6 +5,7 @@ from socialways_tpu.engine.train_step import (
     gan_step,
     init_train_state,
     make_optimizers,
+    transplant_schedule_clock,
 )
 from socialways_tpu.engine.trainer import Trainer
 from socialways_tpu.engine.simulate import (
@@ -18,7 +19,8 @@ from socialways_tpu.engine import losses
 __all__ = [
     "StepMetrics", "TrainState", "eval_params", "gan_step",
     "init_train_state",
-    "make_optimizers", "Trainer", "losses", "crowd_simulate",
-    "crowd_simulate_sharded", "make_crowd_sim", "merge_scenes",
+    "make_optimizers", "transplant_schedule_clock", "Trainer", "losses",
+    "crowd_simulate", "crowd_simulate_sharded", "make_crowd_sim",
+    "merge_scenes",
     "run_leave_one_out",
 ]

@@ -110,6 +110,33 @@ def _g_step_count(g_opt) -> jnp.ndarray:
     return adam_states[0].count
 
 
+def transplant_schedule_clock(restored: TrainState,
+                              clock: TrainState) -> TrainState:
+    """Return ``restored`` with every optimizer ``count`` leaf taken from
+    ``clock``.
+
+    Checkpoint-restore rescues (``--auto-recover``, ``--stall-recover``)
+    rewind the optimizer counts, and with them every count-keyed schedule:
+    the D-instance-noise sigma anneal, staircase lr decay, and the
+    D/G-update-ratio switch all jump backwards — measured to FIGHT the
+    anneal (BASELINE.md: the rescue re-raises sigma the anneal had already
+    taken to ~0).  With this transplant the rescue restores params and
+    optimizer moments but keeps the schedules on the monotonic wall clock.
+    Adam's bias correction reads the transplanted (larger) count; past the
+    first ~1k steps the correction factor is ~1 either way, so moments stay
+    consistent.
+    """
+    def merge(path, r, c):
+        last = path[-1]
+        name = getattr(last, "name", None) or getattr(last, "key", None)
+        return c if name == "count" else r
+    return restored._replace(
+        g_opt=jax.tree_util.tree_map_with_path(merge, restored.g_opt,
+                                               clock.g_opt),
+        d_opt=jax.tree_util.tree_map_with_path(merge, restored.d_opt,
+                                               clock.d_opt))
+
+
 def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
     from socialways_tpu.models.generator import init_generator
     from socialways_tpu.models.discriminator import init_discriminator

@@ -832,3 +832,36 @@ def test_spectral_norm_gan_step_runs_and_differs():
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         s0.g_params, s_sn.g_params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_transplant_schedule_clock():
+    """Rescue restores params/moments from the checkpoint but keeps every
+    optimizer `count` (and with it the sigma-anneal/lr-decay clocks) on the
+    monotonic wall clock."""
+    from socialways_tpu.engine import transplant_schedule_clock
+    from socialways_tpu.engine.train_step import _g_step_count
+    cfg = CFG.replace(d_input_noise=0.1, d_input_noise_steps=10)
+    step = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))
+    s = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch()
+    early, _ = step(s, batch, jax.random.PRNGKey(1))
+    late = early
+    for i in range(2, 5):
+        late, _ = step(late, batch, jax.random.PRNGKey(i))
+    merged = transplant_schedule_clock(early, late)
+    # clock comes from `late`, Adam moments from `early`
+    assert int(_g_step_count(merged.g_opt)) == int(_g_step_count(late.g_opt))
+    mu_e = jax.tree_util.tree_leaves(early.g_opt)
+    mu_m = jax.tree_util.tree_leaves(merged.g_opt)
+    mu_l = jax.tree_util.tree_leaves(late.g_opt)
+    moved = [float(jnp.max(jnp.abs(a - b)))
+             for a, b in zip(mu_m, mu_e) if a.ndim > 0]
+    assert max(moved) == 0.0                     # moments untouched
+    assert any(float(jnp.max(jnp.abs(a - b))) > 0
+               for a, b in zip(mu_e, mu_l) if a.ndim > 0)  # sanity: differ
+    # d_opt clock transplanted too
+    d_counts = [x for x in jax.tree_util.tree_leaves(merged.d_opt)
+                if x.ndim == 0 and jnp.issubdtype(x.dtype, jnp.integer)]
+    d_late = [x for x in jax.tree_util.tree_leaves(late.d_opt)
+              if x.ndim == 0 and jnp.issubdtype(x.dtype, jnp.integer)]
+    assert [int(x) for x in d_counts] == [int(x) for x in d_late]
