@@ -96,6 +96,20 @@ def make_optimizers(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
             tx(cfg.lr_d, *d_decay, d_warmup))
 
 
+def _flat_axis_index(axis_name) -> jnp.ndarray:
+    """Row-major flattened device index over one axis name or a tuple of
+    them — e.g. over a hierarchical ``("dcn", "data")`` mesh the index runs
+    dcn-major, matching the device order of the equivalent flat 1-D mesh,
+    so global-draw-and-slice noise streams are identical between the flat
+    and hierarchical data-parallel forms."""
+    if isinstance(axis_name, (tuple, list)):
+        idx = jnp.zeros((), jnp.int32)
+        for a in axis_name:
+            idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+        return idx
+    return jax.lax.axis_index(axis_name)
+
+
 def _g_step_count(g_opt) -> jnp.ndarray:
     """Number of completed GAN steps, read from the G optimizer's Adam
     ``count`` (G updates exactly once per gan_step, so the count IS the
@@ -160,7 +174,7 @@ def gan_step(
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
     cfg: TrainConfig,
-    axis_name: str | None = None,
+    axis_name: str | tuple | None = None,
     axis_size: int = 1,
 ) -> Tuple[TrainState, StepMetrics]:
     """One GAN update on a padded scene chunk.
@@ -208,7 +222,7 @@ def gan_step(
         # each shard draws the whole global batch's noise and keeps its own
         # rows — the trivially small [N_global, noise_len] draw buys exact
         # stream parity with the single-device big-batch step
-        row0 = jax.lax.axis_index(axis_name) * n
+        row0 = _flat_axis_index(axis_name) * n
 
         def draw_noise(key):
             z = sample_noise(key, n * axis_size, cfg, obsv.dtype)

@@ -60,7 +60,9 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
         noise_k = jax.random.uniform(rng, (k, n_glob, cfg.noise_len),
                                      obsv.dtype)
     if axis_name is not None:
-        row0 = jax.lax.axis_index(axis_name) * n
+        from socialways_tpu.engine.train_step import \
+            _flat_axis_index            # lazy: engine imports eval
+        row0 = _flat_axis_index(axis_name) * n
         noise_k = jax.lax.dynamic_slice_in_dim(noise_k, row0, n, axis=1)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas, cfg.max_scene_size)

@@ -10,17 +10,20 @@ from socialways_tpu.parallel.datafeed import (
 )
 from socialways_tpu.parallel.mesh import (
     DATA_AXIS,
+    DCN_AXIS,
     make_dp_epoch_fn,
     make_dp_epochs_fn,
     make_dp_eval_chunk,
     make_dp_train_step,
     make_mesh,
+    make_mesh_2d,
     shard_packed_for_mesh,
 )
 
-__all__ = ["DATA_AXIS", "make_dp_epoch_fn", "make_dp_epochs_fn",
+__all__ = ["DATA_AXIS", "DCN_AXIS", "make_dp_epoch_fn",
+           "make_dp_epochs_fn",
            "make_dp_eval_chunk", "make_dp_train_step",
-           "make_mesh", "shard_packed_for_mesh",
+           "make_mesh", "make_mesh_2d", "shard_packed_for_mesh",
            "make_sharded_social_context", "ring_social_context",
            "sharded_social_context", "global_batch_from_local",
            "host_chunk_feed", "local_group_slice"]

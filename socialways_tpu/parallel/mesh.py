@@ -27,6 +27,7 @@ from socialways_tpu.engine.train_step import gan_step
 from socialways_tpu.eval.metrics import EvalSums, eval_chunk
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -39,22 +40,60 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
-def batch_pspec() -> Dict[str, P]:
-    return {k: P(DATA_AXIS) for k in ("obsvs", "preds", "scene_ids", "valid")}
+def make_mesh_2d(n_dcn: int, n_ici: int, devices=None) -> Mesh:
+    """Hierarchical 2-D mesh ``(dcn, data)`` for multi-slice deployments:
+    the inner ``data`` axis rides ICI within a slice, the outer ``dcn``
+    axis crosses slices over the data-center network.  XLA lowers a
+    ``pmean`` over both axes into the hierarchical all-reduce
+    (reduce-scatter within the slice, cross-slice exchange of the
+    partials, all-gather back) — the standard multi-pod recipe, SURVEY
+    §5.8.
+
+    Devices are laid out dcn-major, so the flattened device order equals
+    the 1-D ``make_mesh`` order and the two forms consume identical
+    noise streams (engine.train_step._flat_axis_index).  On real
+    multi-slice hardware, pass ``devices`` grouped slice-by-slice (e.g.
+    from ``jax.experimental.mesh_utils.create_hybrid_device_mesh``) so
+    the inner axis actually maps onto ICI neighbors.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_dcn * n_ici]).reshape(n_dcn, n_ici)
+    return Mesh(devices, (DCN_AXIS, DATA_AXIS))
+
+
+def _mesh_axes(mesh: Mesh):
+    """(axis_name, batch-leading-axis spec) for 1-D and hierarchical
+    meshes: a 1-D mesh keeps the plain ``"data"`` form; a multi-axis mesh
+    shards the batch's leading axis over ALL axes jointly and reduces
+    over the axis tuple (XLA then picks hierarchical collectives)."""
+    names = mesh.axis_names
+    if len(names) == 1:
+        return names[0], P(names[0])
+    return tuple(names), P(tuple(names))
+
+
+def batch_pspec(mesh: Optional[Mesh] = None) -> Dict[str, P]:
+    spec = P(DATA_AXIS) if mesh is None else _mesh_axes(mesh)[1]
+    return {k: spec for k in ("obsvs", "preds", "scene_ids", "valid")}
 
 
 def make_dp_train_step(cfg: TrainConfig, mesh: Mesh):
     """Build the jitted data-parallel GAN step.
 
-    The global batch's leading axis is sharded over ``data``; state and rng
-    are replicated.  Each shard must be scene-aligned (use
-    ``pack_scene_batches`` per shard, or shard the chunk axis).
+    The global batch's leading axis is sharded over the mesh's data axes;
+    state and rng are replicated.  Each shard must be scene-aligned (use
+    ``pack_scene_batches`` per shard, or shard the chunk axis).  Works on
+    the 1-D ``data`` mesh and on the hierarchical ``(dcn, data)`` mesh
+    (``make_mesh_2d``) — gradients pmean over the axis tuple, which XLA
+    lowers to the reduce-scatter-within-slice / cross-slice hierarchy.
     """
+    axis_name, _ = _mesh_axes(mesh)
     fn = shard_map(
-        functools.partial(gan_step, cfg=cfg, axis_name=DATA_AXIS,
+        functools.partial(gan_step, cfg=cfg, axis_name=axis_name,
                           axis_size=mesh.devices.size),
         mesh=mesh,
-        in_specs=(P(), batch_pspec(), P()),
+        in_specs=(P(), batch_pspec(mesh), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -131,19 +170,20 @@ def make_dp_epochs_fn(cfg: TrainConfig, mesh: Mesh):
 
 
 def make_dp_eval_chunk(cfg: TrainConfig, mesh: Mesh, k: int):
-    """Data-parallel K-sample eval: batch rows sharded over ``data``; each
-    device evaluates its local rows under all K draws (slicing its rows of
-    the GLOBAL noise draw, so sharded eval == single-device eval exactly);
-    sums are psum'd."""
+    """Data-parallel K-sample eval: batch rows sharded over the mesh's data
+    axes (1-D or hierarchical); each device evaluates its local rows under
+    all K draws (slicing its rows of the GLOBAL noise draw, so sharded
+    eval == single-device eval exactly); sums are psum'd."""
     n_dev = mesh.devices.size
+    axis_name, _ = _mesh_axes(mesh)
 
     def _eval(g_params, batch, rng):
         sums = eval_chunk(g_params, batch, rng, k, cfg,
-                          axis_name=DATA_AXIS, axis_size=n_dev)
-        return EvalSums(*(jax.lax.psum(s, DATA_AXIS) for s in sums))
+                          axis_name=axis_name, axis_size=n_dev)
+        return EvalSums(*(jax.lax.psum(s, axis_name) for s in sums))
 
     fn = shard_map(_eval, mesh=mesh,
-                   in_specs=(P(), batch_pspec(), P()),
+                   in_specs=(P(), batch_pspec(mesh), P()),
                    out_specs=P(),
                    check_vma=False)
     return jax.jit(fn)

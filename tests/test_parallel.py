@@ -433,3 +433,41 @@ def test_dp_instance_noise_matches_single_device(mesh):
             jax.tree_util.tree_leaves(sd_state.g_params)):
         np.testing.assert_allclose(np.asarray(dp_w), np.asarray(sd_w),
                                    rtol=2e-5, atol=2e-6)
+
+
+# ------------------------------------------------- hierarchical (dcn, data)
+def test_hierarchical_mesh_matches_flat_dp():
+    """2x4 (dcn, data) hierarchical DP == flat 8-device DP on identical
+    inputs: devices are laid out dcn-major so both forms slice the same
+    global noise stream, and the grad pmean over the axis tuple reduces
+    the same terms (XLA picks the hierarchical collective lowering)."""
+    from socialways_tpu.parallel import (make_mesh, make_mesh_2d,
+                                         make_dp_eval_chunk,
+                                         make_dp_train_step)
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = _global_batch(8, key=11)
+    rng = jax.random.PRNGKey(1)
+
+    flat = make_dp_train_step(CFG, make_mesh(8))
+    hier = make_dp_train_step(CFG, make_mesh_2d(2, 4))
+    s_f, m_f = flat(state, batch, rng)
+    s_h, m_h = hier(state, batch, rng)
+    assert int(m_h.n_samples) == int(m_f.n_samples) == 64
+    assert float(m_h.g_loss) == pytest.approx(float(m_f.g_loss), rel=1e-5)
+    assert float(m_h.d_loss) == pytest.approx(float(m_f.d_loss), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_h.g_params["embed"]["w"]),
+        np.asarray(s_f.g_params["embed"]["w"]), rtol=1e-5, atol=1e-7)
+    # replicated across every device of the 2-D mesh
+    shards = [np.asarray(x.data)
+              for x in s_h.g_params["embed"]["w"].addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+    ev_f = make_dp_eval_chunk(CFG, make_mesh(8), k=4)
+    ev_h = make_dp_eval_chunk(CFG, make_mesh_2d(2, 4), k=4)
+    sums_f = ev_f(state.g_params, batch, jax.random.PRNGKey(3))
+    sums_h = ev_h(state.g_params, batch, jax.random.PRNGKey(3))
+    assert float(sums_h.ade_min) == pytest.approx(float(sums_f.ade_min),
+                                                  rel=1e-5)
+    assert int(sums_h.n_samples) == int(sums_f.n_samples) == 64
