@@ -195,12 +195,16 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="run gcd(test,save)-interval epoch blocks as one "
                         "device program (fastest; per-epoch prints become "
                         "per-block)")
-    p.add_argument("--mesh", type=int, default=0,
+    p.add_argument("--mesh", type=str, default="0",
                    help="data-parallel over the first N devices: chunk "
                         "groups are sharded over a 1-D mesh and every "
                         "step pmeans gradients over ICI; composes with "
                         "--fused-epochs (N groups become one DP step, so "
-                        "an epoch has ceil(chunks/N) steps; 0 = off)")
+                        "an epoch has ceil(chunks/N) steps; 0 = off). "
+                        "'AxB' (e.g. 2x4) builds the hierarchical "
+                        "(dcn, data) mesh instead — A slices of B chips, "
+                        "gradient reduction riding ICI within a slice "
+                        "and DCN across slices")
 
 
 def _cfg_from_args(args) -> "TrainConfig":
@@ -321,13 +325,20 @@ def cmd_train(args) -> int:
     cfg = _cfg_from_args(args)
     ds = load_npz_dataset(args.data)
     mesh = None
-    if getattr(args, "mesh", 0):
-        from socialways_tpu.parallel import make_mesh
-        if len(jax.devices()) < args.mesh:
-            print(f"ERROR: --mesh {args.mesh} needs {args.mesh} devices, "
+    mesh_arg = str(getattr(args, "mesh", "0"))
+    if mesh_arg not in ("0", ""):
+        from socialways_tpu.parallel import make_mesh, make_mesh_2d
+        if "x" in mesh_arg:
+            n_dcn, n_ici = (int(v) for v in mesh_arg.split("x", 1))
+            need = n_dcn * n_ici
+        else:
+            n_dcn, need = 0, int(mesh_arg)
+        if len(jax.devices()) < need:
+            print(f"ERROR: --mesh {mesh_arg} needs {need} devices, "
                   f"have {len(jax.devices())}", file=sys.stderr)
             return 1
-        mesh = make_mesh(args.mesh)
+        mesh = (make_mesh_2d(n_dcn, n_ici) if n_dcn
+                else make_mesh(need))
     trainer = Trainer(cfg, ds, mesh=mesh)
     cfg = trainer.cfg  # n_past/n_next filled from data
     if cfg.d_input_noise_steps < 0:

@@ -100,10 +100,11 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
-def grouped_pspec() -> Dict[str, P]:
+def grouped_pspec(mesh: Optional[Mesh] = None) -> Dict[str, P]:
     """Specs for ``shard_packed_for_mesh`` output: [groups, n_dev·width, …]
-    with the sample axis (axis 1) sharded."""
-    return {k: P(None, DATA_AXIS)
+    with the sample axis (axis 1) sharded over the mesh's data axes."""
+    axes = DATA_AXIS if mesh is None else _mesh_axes(mesh)[0]
+    return {k: P(None, axes)
             for k in ("obsvs", "preds", "scene_ids", "valid")}
 
 
@@ -119,6 +120,7 @@ def make_dp_epoch_fn(cfg: TrainConfig, mesh: Mesh):
     from socialways_tpu.engine.train_step import StepMetrics
 
     n_dev = mesh.devices.size
+    axis_name, _ = _mesh_axes(mesh)
 
     def epoch_body(state, batches, rng):
         n_groups = batches["obsvs"].shape[0]
@@ -126,7 +128,7 @@ def make_dp_epoch_fn(cfg: TrainConfig, mesh: Mesh):
 
         def body(carry, xs):
             chunk, key = xs
-            return gan_step(carry, chunk, key, cfg, axis_name=DATA_AXIS,
+            return gan_step(carry, chunk, key, cfg, axis_name=axis_name,
                             axis_size=n_dev)
 
         state, ms = jax.lax.scan(body, state, (batches, keys))
@@ -139,7 +141,7 @@ def make_dp_epoch_fn(cfg: TrainConfig, mesh: Mesh):
         )
 
     fn = shard_map(epoch_body, mesh=mesh,
-                   in_specs=(P(), grouped_pspec(), P()),
+                   in_specs=(P(), grouped_pspec(mesh), P()),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(fn), epoch_body
 
@@ -162,7 +164,7 @@ def make_dp_epochs_fn(cfg: TrainConfig, mesh: Mesh):
 
     def run(state, batches, rng, n):
         fn = shard_map(functools.partial(epochs_body, n=n),
-                       mesh=mesh, in_specs=(P(), grouped_pspec(), P()),
+                       mesh=mesh, in_specs=(P(), grouped_pspec(mesh), P()),
                        out_specs=(P(), P()), check_vma=False)
         return fn(state, batches, rng)
 

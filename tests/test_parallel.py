@@ -471,3 +471,23 @@ def test_hierarchical_mesh_matches_flat_dp():
     assert float(sums_h.ade_min) == pytest.approx(float(sums_f.ade_min),
                                                   rel=1e-5)
     assert int(sums_h.n_samples) == int(sums_f.n_samples) == 64
+
+
+def test_hierarchical_fused_epochs_matches_flat():
+    """The production fused-epochs DP path produces identical metrics on
+    the 2x4 hierarchical mesh and the flat 8-device mesh."""
+    from socialways_tpu.parallel import (make_dp_epochs_fn, make_mesh,
+                                         make_mesh_2d)
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = _global_batch(8, key=21)
+    grouped = {k: jnp.stack([v, v]) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(4)
+    s_f, m_f = make_dp_epochs_fn(CFG, make_mesh(8))(
+        state, grouped, rng, n=2)
+    s_h, m_h = make_dp_epochs_fn(CFG, make_mesh_2d(2, 4))(
+        state, grouped, rng, n=2)
+    assert int(m_h.n_samples) == int(m_f.n_samples)
+    assert float(m_h.g_loss) == pytest.approx(float(m_f.g_loss), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_h.g_params["embed"]["w"]),
+        np.asarray(s_f.g_params["embed"]["w"]), rtol=1e-5, atol=1e-7)
