@@ -491,3 +491,24 @@ def test_hierarchical_fused_epochs_matches_flat():
     np.testing.assert_allclose(
         np.asarray(s_h.g_params["embed"]["w"]),
         np.asarray(s_f.g_params["embed"]["w"]), rtol=1e-5, atol=1e-7)
+
+
+def test_dp_step_with_grad_accum(mesh):
+    """--mesh composes with --grad-accum: each shard scans its own
+    micro-chunks, gradients pmean once per phase; counts and finiteness
+    match the accum-free step."""
+    cfg = CFG.replace(grad_accum=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _global_batch(8, key=31)
+    s_a, m_a = make_dp_train_step(cfg, mesh)(state, batch,
+                                             jax.random.PRNGKey(2))
+    s_p, m_p = make_dp_train_step(CFG.replace(n_unrolling_steps=1), mesh)(
+        state, batch, jax.random.PRNGKey(2))
+    assert int(m_a.n_samples) == int(m_p.n_samples) == 64
+    assert np.isfinite(float(m_a.g_loss))
+    # same loss value up to reassociation (identical math, chunked)
+    assert float(m_a.g_loss) == pytest.approx(float(m_p.g_loss), rel=1e-4)
+    w = s_a.g_params["embed"]["w"]
+    shards = [np.asarray(x.data) for x in w.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
