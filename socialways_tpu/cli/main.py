@@ -783,6 +783,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="force the CPU backend (note: the JAX_PLATFORMS "
                          "env var is ignored by some TPU plugins; this "
                          "flag sets the config before first backend use)")
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="with --cpu: provision N virtual CPU devices "
+                         "(xla_force_host_platform_device_count) so "
+                         "--mesh N/AxB runs without real chips — the "
+                         "standard fake-mesh pattern used by the test "
+                         "suite and the multichip dryrun")
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("create-toy", help="generate the toy dataset")
@@ -891,7 +897,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu_devices", 0) and not args.cpu:
+        print("--cpu-devices requires --cpu", file=sys.stderr)
+        return 1
     if args.cpu:
+        if getattr(args, "cpu_devices", 0):
+            # must precede first backend use; the env var is read when the
+            # CPU client initializes (same recipe as tests/conftest.py)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count="
+                    f"{args.cpu_devices}").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
