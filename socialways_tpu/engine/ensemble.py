@@ -1,0 +1,115 @@
+"""Multi-seed ensemble training: N independent GAN replicas as ONE device
+program.
+
+Seed-robustness protocols (BASELINE.md's coverage sweeps) train the same
+recipe under several seeds and score each final model.  Run serially that
+costs N full runs of wall clock; on TPU the model is tiny (h=64) and each
+replica leaves most of the chip idle — so instead ``vmap`` the fused-epoch
+training over a stacked member axis: every LSTM/decode matmul becomes a
+batched matmul and N seeds train for roughly the wall cost of one.
+
+Member independence is exact: each member carries its own params, optimizer
+state and PRNG stream (``PRNGKey(seed_m)`` — the same derivation a solo
+``Trainer`` run with that seed uses), and ``vmap`` batches the math without
+mixing members, so member ``i`` of the ensemble equals the solo run up to
+float reassociation (tested in tests/test_engine.py).
+
+The reference has no counterpart (single seed, single process; SURVEY §2.3)
+— this is a TPU-native addition in the spirit of its K-sample
+"ensemble-parallel" row.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.engine.train_step import TrainState, eval_params
+from socialways_tpu.engine.trainer import Trainer
+from socialways_tpu.eval.metrics import EvalSums, finalize_eval
+
+
+def stack_states(states: Sequence[TrainState]) -> TrainState:
+    """Stack per-member TrainStates leaf-wise into one pytree with a
+    leading member axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def member_state(stacked: TrainState, i: int) -> TrainState:
+    """Extract member ``i``'s TrainState (e.g. to checkpoint the winner)."""
+    return jax.tree_util.tree_map(lambda x: x[i], stacked)
+
+
+class EnsembleTrainer:
+    """Wraps a single-device :class:`Trainer` (its packed data and config)
+    and trains N members jointly via ``vmap`` over the member axis."""
+
+    def __init__(self, trainer: Trainer):
+        if trainer.mesh is not None:
+            raise ValueError("EnsembleTrainer supports mesh=None trainers "
+                             "(vmap over shard_map is not composed here); "
+                             "members already fill the chip")
+        self.trainer = trainer
+        self.cfg = trainer.cfg
+        self._epochs_v = {}           # n -> compiled vmapped epochs fn
+        self._eval_v = {}             # k -> compiled vmapped eval chunk
+
+    # ------------------------------------------------------------- init
+    def init_states(self, seeds: Sequence[int]) -> TrainState:
+        return stack_states([self.trainer.init_state(s) for s in seeds])
+
+    # ------------------------------------------------------------ train
+    def train_epochs(self, states: TrainState, rngs: jax.Array, n: int
+                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """``n`` fused epochs for every member; ``rngs`` is [N, 2] (one key
+        per member).  Returns stacked states and per-member metric arrays
+        (last epoch's, matching Trainer.train_epochs semantics)."""
+        if n not in self._epochs_v:
+            fn = jax.vmap(lambda s, r: self.trainer._epochs_fn(s, r, n))
+            self._epochs_v[n] = jax.jit(fn)
+        states, m = self._epochs_v[n](states, rngs)
+        ss = self.trainer.dataset.ss
+        n_samp = jnp.maximum(m.n_samples, 1)
+        return states, {
+            "d_loss": m.d_loss,
+            "g_loss": m.g_loss,
+            "train_ade": m.ade_sum / ss / n_samp,
+            "train_fde": m.fde_sum / ss / n_samp,
+        }
+
+    # ------------------------------------------------------------- eval
+    def evaluate(self, states: TrainState, rngs: jax.Array,
+                 n_gen_samples: int | None = None) -> List[Dict[str, float]]:
+        """Per-member K-sample eval over the test set; ``rngs`` [N, 2].
+        Returns one metrics dict per member (same keys as
+        Trainer.evaluate)."""
+        tr = self.trainer
+        if tr._test_dev is None:
+            return []
+        k = n_gen_samples or self.cfg.n_gen_samples
+        if k not in self._eval_v:
+            fn = jax.vmap(
+                functools.partial(tr._eval_chunk, k=k),
+                in_axes=(0, None, 0))
+            self._eval_v[k] = jax.jit(fn)
+        n_members = rngs.shape[0]
+        n_chunks = tr.test_packed.n_chunks
+        # one independent stream per member, split per chunk exactly like
+        # the solo evaluate (jax.random.split over the chunk axis)
+        keys = jnp.stack([jax.random.split(rngs[m], n_chunks)
+                          for m in range(n_members)])     # [N, chunks, 2]
+        total = None
+        for i in range(n_chunks):
+            chunk = {kk: v[i] for kk, v in tr._test_dev.items()}
+            s = self._eval_v[k](eval_params(states), chunk, keys[:, i])
+            total = s if total is None else EvalSums(
+                *(a + b for a, b in zip(total, s)))
+        out = []
+        for m in range(n_members):
+            sums = EvalSums(*(jnp.asarray(x)[m] for x in total))
+            out.append(finalize_eval(sums, tr.dataset.ss,
+                                     tr.dataset.n_test_samples))
+        return out

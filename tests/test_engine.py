@@ -865,3 +865,37 @@ def test_transplant_schedule_clock():
     d_late = [x for x in jax.tree_util.tree_leaves(late.d_opt)
               if x.ndim == 0 and jnp.issubdtype(x.dtype, jnp.integer)]
     assert [int(x) for x in d_counts] == [int(x) for x in d_late]
+
+
+# ------------------------------------------------------------- ensemble
+def test_ensemble_members_match_solo_runs(toy_ds):
+    """vmapped N-seed ensemble == N solo fused-epoch runs: same per-member
+    metrics and eval, up to float reassociation (batched vs single matmuls)."""
+    from socialways_tpu.engine import EnsembleTrainer, member_state
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                      batch_size=64, n_unrolling_steps=1, seed=0)
+    tr = Trainer(cfg, toy_ds)
+    ens = EnsembleTrainer(tr)
+    seeds = [0, 1]
+    states = ens.init_states(seeds)
+    rngs = jnp.stack([jax.random.PRNGKey(100 + s) for s in seeds])
+    states, m = ens.train_epochs(states, rngs, n=3)
+    ev = ens.evaluate(states, rngs, n_gen_samples=4)
+
+    for i, seed in enumerate(seeds):
+        solo = tr.init_state(seed)
+        solo, ms = tr.train_epochs(solo, jax.random.PRNGKey(100 + seed), n=3)
+        assert float(m["train_ade"][i]) == pytest.approx(
+            ms["train_ade"], rel=2e-4)
+        assert float(m["g_loss"][i]) == pytest.approx(
+            ms["g_loss"], rel=2e-4)
+        ev_solo = tr.evaluate(solo, jax.random.PRNGKey(100 + seed),
+                              n_gen_samples=4)
+        assert ev[i]["ade_min"] == pytest.approx(ev_solo["ade_min"],
+                                                 rel=2e-4)
+        # extracting the member reproduces the solo params
+        w_m = np.asarray(member_state(states, i).g_params["embed"]["w"])
+        w_s = np.asarray(solo.g_params["embed"]["w"])
+        np.testing.assert_allclose(w_m, w_s, rtol=2e-4, atol=1e-6)
+    # members are genuinely different models
+    assert float(m["g_loss"][0]) != float(m["g_loss"][1])
