@@ -113,3 +113,30 @@ class EnsembleTrainer:
             out.append(finalize_eval(sums, tr.dataset.ss,
                                      tr.dataset.n_test_samples))
         return out
+
+    def coverage(self, states: TrainState, rngs: jax.Array,
+                 n_samples: int = 64) -> List[float]:
+        """Per-member toy mode coverage over (up to) the first
+        ``n_samples`` test samples — the same protocol as ``cli train
+        --track-coverage`` (fold_in 99, K = cfg.n_gen_samples)."""
+        import numpy as np
+
+        from socialways_tpu.eval.metrics import k_sample_rollout
+        from socialways_tpu.eval.stats import toy_mode_coverage
+
+        tr, ds, cfg = self.trainer, self.trainer.dataset, self.cfg
+        nt = ds.n_train_samples
+        obs = jnp.asarray(ds.obsvs[nt:nt + n_samples])
+        ids = jnp.zeros((obs.shape[0],), jnp.int32)
+        if "cov" not in self._eval_v:
+            fn = jax.vmap(
+                lambda p, key: k_sample_rollout(
+                    p, obs, ids, key, cfg.n_gen_samples, cfg),
+                in_axes=(0, 0))
+            self._eval_v["cov"] = jax.jit(fn)
+        keys = jax.vmap(lambda r: jax.random.fold_in(r, 99))(rngs)
+        pk = self._eval_v["cov"](eval_params(states), keys)
+        obs_w = ds.scale.denormalize(np.asarray(obs))
+        return [toy_mode_coverage(
+                    obs_w, ds.scale.denormalize(np.asarray(pk[m, ..., :2])))
+                for m in range(rngs.shape[0])]

@@ -899,3 +899,18 @@ def test_ensemble_members_match_solo_runs(toy_ds):
         np.testing.assert_allclose(w_m, w_s, rtol=2e-4, atol=1e-6)
     # members are genuinely different models
     assert float(m["g_loss"][0]) != float(m["g_loss"][1])
+
+
+def test_ensemble_coverage_per_member(toy_ds):
+    from socialways_tpu.engine import EnsembleTrainer
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                      batch_size=64, n_unrolling_steps=0, seed=0,
+                      n_gen_samples=4)
+    ens = EnsembleTrainer(Trainer(cfg, toy_ds))
+    seeds = [0, 1]
+    states = ens.init_states(seeds)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+    covs = ens.coverage(states, rngs, n_samples=16)
+    assert len(covs) == 2
+    for c in covs:
+        assert 0.0 <= c <= 1.0
