@@ -128,14 +128,15 @@ class EnsembleTrainer:
         nt = ds.n_train_samples
         obs = jnp.asarray(ds.obsvs[nt:nt + n_samples])
         ids = jnp.zeros((obs.shape[0],), jnp.int32)
-        if "cov" not in self._eval_v:
+        cache_key = ("cov", obs.shape[0])     # closure captures this obs
+        if cache_key not in self._eval_v:
             fn = jax.vmap(
                 lambda p, key: k_sample_rollout(
                     p, obs, ids, key, cfg.n_gen_samples, cfg),
                 in_axes=(0, 0))
-            self._eval_v["cov"] = jax.jit(fn)
+            self._eval_v[cache_key] = jax.jit(fn)
         keys = jax.vmap(lambda r: jax.random.fold_in(r, 99))(rngs)
-        pk = self._eval_v["cov"](eval_params(states), keys)
+        pk = self._eval_v[cache_key](eval_params(states), keys)
         obs_w = ds.scale.denormalize(np.asarray(obs))
         return [toy_mode_coverage(
                     obs_w, ds.scale.denormalize(np.asarray(pk[m, ..., :2])))
