@@ -132,6 +132,15 @@ RECIPES = {
                                  "--auto-recover", "--block-size", "1000",
                                  "--info-weight", "2.0", "--d-input-noise",
                                  "0.05", "--d-input-noise-steps", "-1"],
+    # long-run form: inoise2 + stall rescue, with --rescue-keep-clock so
+    # the restore no longer rewinds the sigma anneal (the interaction that
+    # made rescue+anneal fight in session 5) — the intended recipe for
+    # runs longer than the anneal horizon
+    "robust1+info2+inoise2+rescue": [
+        "--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+        "--auto-recover", "--block-size", "1000", "--info-weight", "2.0",
+        "--d-input-noise", "0.05", "--d-input-noise-steps", "40000",
+        "--stall-recover", "4", "--rescue-keep-clock"],
     # SN-GAN spectral normalization: the Lipschitz-bound alternative to
     # instance noise, alone and composed with the inoise winner
     "robust1+sn": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
