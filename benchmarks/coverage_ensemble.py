@@ -52,8 +52,18 @@ def main():
                          "the categorical robust1 base")
     ap.add_argument("--out", default="")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="with --cpu: force a virtual N-device host")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the member axis over an N-device mesh "
+                         "(len(seeds) %% N == 0); members stay independent")
     args = ap.parse_args()
 
+    if args.cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={args.cpu_devices}"
+        ).strip()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -81,7 +91,11 @@ def main():
     cfg = TrainConfig(**base)
 
     tr = Trainer(cfg, ds)
-    ens = EnsembleTrainer(tr)
+    mesh = None
+    if args.mesh:
+        from socialways_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh)
+    ens = EnsembleTrainer(tr, mesh=mesh)
     seeds = [int(s) for s in args.seeds.split(",")]
     states = ens.init_states(seeds)
 

@@ -342,10 +342,11 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg, ds, mesh=mesh)
     cfg = trainer.cfg  # n_past/n_next filled from data
     if cfg.d_input_noise_steps < 0:
-        # -1 = anneal over the whole planned run (steps = epochs × chunks;
-        # the 80k sweeps showed coverage drifts once training continues
-        # noise-free, so the anneal horizon should match the run length)
-        total = cfg.n_epochs * trainer.train_packed.n_chunks
+        # -1 = anneal over the whole planned run.  The sigma schedule is
+        # keyed on OPTIMIZER steps, and on a mesh each epoch performs only
+        # n_steps_per_epoch synchronized DP steps (~n_chunks/N) — counting
+        # raw chunks would leave sigma at ~(1-1/N)·sigma0 at run end.
+        total = cfg.n_epochs * trainer.n_steps_per_epoch
         cfg = cfg.replace(d_input_noise_steps=total)
         trainer = Trainer(cfg, ds, mesh=mesh)
         cfg = trainer.cfg
@@ -668,15 +669,60 @@ def cmd_sweep(args) -> int:
 
 def cmd_eth_ucy(args) -> int:
 
-    from socialways_tpu.engine.ethucy import run_leave_one_out
+    from socialways_tpu.engine.ethucy import prepare_scenes, run_leave_one_out
 
     cfg = _cfg_from_args(args)
-    results = run_leave_one_out(args.data_dir, cfg,
-                                scenes=tuple(args.scenes.split(",")),
-                                fused_block=args.fused_block)
+    scenes = tuple(args.scenes.split(","))
+    out = {}
+
+    # zero-ceremony readiness: if any scene npz is missing, look for raw
+    # obsmat files (validated + fingerprinted) and window them on the fly
+    npz_missing = [s for s in scenes if not os.path.exists(os.path.join(
+        args.data_dir, f"{s}-{cfg.n_past}-{cfg.n_next}.npz"))]
+    if npz_missing or args.prepare_only:
+        manifest = prepare_scenes(args.data_dir, cfg, scenes=scenes)
+        out["scenes"] = manifest
+        if args.prepare_only:
+            print(json.dumps(manifest, indent=2, default=str))
+            if args.out_json:
+                with open(args.out_json, "w") as fh:
+                    json.dump(out, fh, indent=2, default=str)
+            return 0
+
+    out["folds"] = run_leave_one_out(args.data_dir, cfg, scenes=scenes,
+                                     fused_block=args.fused_block)
+
+    if args.compare_reference:
+        # train the UNMODIFIED reference on the identical fold npz files
+        # (benchmarks/ethucy_parity.py machinery; repo-checkout only)
+        import sys as _sys
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        if repo not in _sys.path:
+            _sys.path.insert(0, repo)
+        try:
+            from benchmarks.ethucy_parity import run_reference_fold
+            from benchmarks.synth_ethucy import merge_fold
+        except ImportError as e:
+            print(f"--compare-reference needs the repo checkout's "
+                  f"benchmarks/ ({e}); skipping", file=sys.stderr)
+        else:
+            ref = {}
+            for held in scenes:
+                files = [os.path.join(
+                    args.data_dir, f"{s}-{cfg.n_past}-{cfg.n_next}.npz")
+                    for s in scenes if s != held]
+                fold = os.path.join(args.data_dir, f"fold_{held}.npz")
+                merge_fold(files, os.path.join(
+                    args.data_dir, f"{held}-{cfg.n_past}-{cfg.n_next}.npz"),
+                    fold)
+                ref[held] = run_reference_fold(fold, args.ref_epochs)
+                print(f"[reference {held}] {ref[held]}")
+            out["reference"] = ref
+
     if args.out_json:
         with open(args.out_json, "w") as fh:
-            json.dump(results, fh, indent=2)
+            json.dump(out, fh, indent=2, default=str)
         print(f"wrote {args.out_json}")
     return 0
 
@@ -867,9 +913,19 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("eth-ucy",
                        help="leave-one-scene-out ETH/UCY benchmark")
     p.add_argument("--data-dir", required=True,
-                   help="directory with <scene>-8-12.npz files")
+                   help="directory with <scene>-8-12.npz files, OR raw "
+                        "obsmat annotation files in any standard layout "
+                        "(auto-detected, validated, fingerprinted and "
+                        "windowed on the fly)")
     p.add_argument("--scenes", default="eth,hotel,univ,zara1,zara2")
     p.add_argument("--fused-block", type=int, default=10)
+    p.add_argument("--prepare-only", action="store_true",
+                   help="stop after obsmat discovery + npz building")
+    p.add_argument("--compare-reference", action="store_true",
+                   help="also train the UNMODIFIED reference on each fold "
+                        "npz (needs the repo checkout's benchmarks/)")
+    p.add_argument("--ref-epochs", type=int, default=100,
+                   help="reference epochs per fold for --compare-reference")
     p.add_argument("--out-json", default="")
     _add_model_flags(p)
     p.set_defaults(fn=cmd_eth_ucy)

@@ -45,20 +45,56 @@ def member_state(stacked: TrainState, i: int) -> TrainState:
 
 class EnsembleTrainer:
     """Wraps a single-device :class:`Trainer` (its packed data and config)
-    and trains N members jointly via ``vmap`` over the member axis."""
+    and trains N members jointly via ``vmap`` over the member axis.
 
-    def __init__(self, trainer: Trainer):
+    With ``mesh`` the member axis is additionally SHARDED over the mesh
+    devices (``shard_map`` around the vmapped program; data replicated):
+    members are embarrassingly parallel, so each device trains N/M members
+    with zero collectives — N-seed robustness protocols at M× the
+    throughput of the single-chip ensemble.  Member math is unchanged
+    (same per-member keys), so member ``i`` still equals the solo run."""
+
+    def __init__(self, trainer: Trainer, mesh=None):
         if trainer.mesh is not None:
-            raise ValueError("EnsembleTrainer supports mesh=None trainers "
-                             "(vmap over shard_map is not composed here); "
-                             "members already fill the chip")
+            raise ValueError("EnsembleTrainer wraps a SINGLE-DEVICE "
+                             "trainer; pass mesh= to EnsembleTrainer to "
+                             "shard the member axis instead")
         self.trainer = trainer
         self.cfg = trainer.cfg
+        self.mesh = mesh
         self._epochs_v = {}           # n -> compiled vmapped epochs fn
         self._eval_v = {}             # k -> compiled vmapped eval chunk
 
+    # ------------------------------------------------------- mesh helpers
+    @property
+    def _n_shards(self) -> int:
+        return 1 if self.mesh is None else self.mesh.size
+
+    def _check_members(self, n_members: int) -> None:
+        if n_members % self._n_shards:
+            raise ValueError(
+                f"{n_members} ensemble members not divisible by the "
+                f"{self._n_shards}-device mesh")
+
+    def _member_sharded(self, fn, n_replicated: int):
+        """Wrap a vmapped-over-members ``fn(members…, replicated…)`` so the
+        member axis shards over every mesh axis; the trailing
+        ``n_replicated`` args (packed data) are replicated."""
+        if self.mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        m_spec = P(self.mesh.axis_names)
+        # check_vma off: members are independent (no collectives), and the
+        # rollout scan's zeros-initialized LSTM carry is unvarying at entry
+        # which the varying-manual-axes analysis would reject
+        return jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(m_spec, m_spec) + (P(),) * n_replicated,
+            out_specs=m_spec, check_vma=False)
+
     # ------------------------------------------------------------- init
     def init_states(self, seeds: Sequence[int]) -> TrainState:
+        self._check_members(len(seeds))
         return stack_states([self.trainer.init_state(s) for s in seeds])
 
     # ------------------------------------------------------------ train
@@ -67,10 +103,22 @@ class EnsembleTrainer:
         """``n`` fused epochs for every member; ``rngs`` is [N, 2] (one key
         per member).  Returns stacked states and per-member metric arrays
         (last epoch's, matching Trainer.train_epochs semantics)."""
+        self._check_members(rngs.shape[0])
         if n not in self._epochs_v:
-            fn = jax.vmap(lambda s, r: self.trainer._epochs_fn(s, r, n))
-            self._epochs_v[n] = jax.jit(fn)
-        states, m = self._epochs_v[n](states, rngs)
+            def epochs_one(state, rng, batches):
+                keys = jax.random.split(rng, n)
+
+                def body(carry, key):
+                    return self.trainer._epoch_fn(carry, batches, key)
+
+                state, ms = jax.lax.scan(body, state, keys)
+                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            fn = jax.vmap(epochs_one, in_axes=(0, 0, None))
+            self._epochs_v[n] = jax.jit(
+                self._member_sharded(fn, n_replicated=1))
+        states, m = self._epochs_v[n](states, rngs,
+                                      self.trainer._train_dev)
         ss = self.trainer.dataset.ss
         n_samp = jnp.maximum(m.n_samples, 1)
         return states, {
@@ -89,12 +137,13 @@ class EnsembleTrainer:
         tr = self.trainer
         if tr._test_dev is None:
             return []
+        self._check_members(rngs.shape[0])
         k = n_gen_samples or self.cfg.n_gen_samples
         if k not in self._eval_v:
-            fn = jax.vmap(
-                functools.partial(tr._eval_chunk, k=k),
-                in_axes=(0, None, 0))
-            self._eval_v[k] = jax.jit(fn)
+            fn = jax.vmap(lambda p, key, chunk: tr._eval_chunk(
+                p, chunk, key, k=k), in_axes=(0, 0, None))
+            self._eval_v[k] = jax.jit(
+                self._member_sharded(fn, n_replicated=1))
         n_members = rngs.shape[0]
         n_chunks = tr.test_packed.n_chunks
         # one independent stream per member, split per chunk exactly like
@@ -104,7 +153,7 @@ class EnsembleTrainer:
         total = None
         for i in range(n_chunks):
             chunk = {kk: v[i] for kk, v in tr._test_dev.items()}
-            s = self._eval_v[k](eval_params(states), chunk, keys[:, i])
+            s = self._eval_v[k](eval_params(states), keys[:, i], chunk)
             total = s if total is None else EvalSums(
                 *(a + b for a, b in zip(total, s)))
         out = []
@@ -125,18 +174,20 @@ class EnsembleTrainer:
         from socialways_tpu.eval.stats import toy_mode_coverage
 
         tr, ds, cfg = self.trainer, self.trainer.dataset, self.cfg
+        self._check_members(rngs.shape[0])
         nt = ds.n_train_samples
         obs = jnp.asarray(ds.obsvs[nt:nt + n_samples])
-        ids = jnp.zeros((obs.shape[0],), jnp.int32)
-        cache_key = ("cov", obs.shape[0])     # closure captures this obs
+        cache_key = ("cov", obs.shape[0])
         if cache_key not in self._eval_v:
             fn = jax.vmap(
-                lambda p, key: k_sample_rollout(
-                    p, obs, ids, key, cfg.n_gen_samples, cfg),
-                in_axes=(0, 0))
-            self._eval_v[cache_key] = jax.jit(fn)
+                lambda p, key, ob: k_sample_rollout(
+                    p, ob, jnp.zeros((ob.shape[0],), jnp.int32), key,
+                    cfg.n_gen_samples, cfg),
+                in_axes=(0, 0, None))
+            self._eval_v[cache_key] = jax.jit(
+                self._member_sharded(fn, n_replicated=1))
         keys = jax.vmap(lambda r: jax.random.fold_in(r, 99))(rngs)
-        pk = self._eval_v[cache_key](eval_params(states), keys)
+        pk = self._eval_v[cache_key](eval_params(states), keys, obs)
         obs_w = ds.scale.denormalize(np.asarray(obs))
         return [toy_mode_coverage(
                     obs_w, ds.scale.denormalize(np.asarray(pk[m, ..., :2])))

@@ -79,16 +79,23 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
 def lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
                  zeros_target, ones_target, use_info_loss: bool,
                  loss_info_w: float, n_latent_codes: int,
-                 latent_code_type: str = "continuous", label_valid=None):
+                 latent_code_type: str = "continuous", label_valid=None,
+                 w_label=1.0, w_info=1.0):
     """Discriminator loss (train.py:482-494). Labels are [N, 1] — or, under
     PacGAN, [N/pac, 1] with ``label_valid`` the per-pack validity (the info
-    term stays per-sample on ``valid``)."""
+    term stays per-sample on ``valid``).
+
+    ``w_label``/``w_info`` scale the label and info terms separately —
+    gradient accumulation uses them to weight each micro-chunk's label term
+    by valid-PACK share and its info term by valid-SAMPLE share, which is
+    what makes the accumulated pac>1 loss exactly equal the full-batch one
+    even when the padding tail creates a mixed (partially-valid) pack."""
     lv = valid if label_valid is None else label_valid
     m = fake_label.shape[0]
-    loss = (masked_mse(fake_label, zeros_target[:m], lv)
-            + masked_mse(real_label, ones_target[:m], lv))
+    loss = w_label * (masked_mse(fake_label, zeros_target[:m], lv)
+                      + masked_mse(real_label, ones_target[:m], lv))
     if use_info_loss:
-        loss = loss + loss_info_w * info_loss(
+        loss = loss + w_info * loss_info_w * info_loss(
             fake_code, noise, valid, n_latent_codes, latent_code_type)
     return loss
 
@@ -96,14 +103,14 @@ def lsgan_d_loss(fake_label, real_label, fake_code, noise, valid,
 def lsgan_g_loss(gen_label, gen_code, noise, valid, ones_target,
                  use_info_loss: bool, loss_info_w: float,
                  n_latent_codes: int, latent_code_type: str = "continuous",
-                 label_valid=None):
+                 label_valid=None, w_label=1.0, w_info=1.0):
     """Generator fooling (+ info) loss (train.py:510-523).  ``label_valid``
-    as in :func:`lsgan_d_loss`."""
+    and the ``w_label``/``w_info`` term weights as in :func:`lsgan_d_loss`."""
     lv = valid if label_valid is None else label_valid
     m = gen_label.shape[0]
-    loss = masked_mse(gen_label, ones_target[:m], lv)
+    loss = w_label * masked_mse(gen_label, ones_target[:m], lv)
     if use_info_loss:
-        loss = loss + loss_info_w * info_loss(
+        loss = loss + w_info * loss_info_w * info_loss(
             gen_code, noise, valid, n_latent_codes, latent_code_type)
     return loss
 

@@ -292,20 +292,33 @@ def gan_step(
               "scene_ids": chunk(scene_ids), "valid": chunk(valid),
               "zeros": chunk(zeros_t), "ones": chunk(ones_t),
               "pred": chunk(pred)}
+        # dual per-chunk weights: sample terms (info/r1/l2) accumulate by
+        # valid-SAMPLE share, label terms by valid-PACK share (pac>1 means a
+        # mixed padding-tail pack counts toward samples but not packs, and a
+        # single weight would skew the label gradient; with pac==1 the two
+        # are identical).  Σ_c w_c · chunk-masked-mean == global masked mean
+        # exactly, per term.
         chunk_w = (jnp.sum(mb["valid"], axis=1).astype(dtype)
                    / jnp.maximum(jnp.sum(valid), 1).astype(dtype))
+        gv_chunks = group_valid(valid).reshape(cfg.grad_accum, -1)
+        pack_w = (jnp.sum(gv_chunks, axis=1).astype(dtype)
+                  / jnp.maximum(jnp.sum(gv_chunks), 1).astype(dtype))
 
         def _accum_value_and_grad(chunk_loss_fn, params):
-            """(Σ w_c·loss_c, Σ w_c·grad_c) via a scan over micro-chunks."""
+            """(Σ loss_c, Σ grad_c) over micro-chunks; ``chunk_loss_fn``
+            receives (params, cb, w_sample, w_pack) and returns the chunk's
+            already-weighted loss."""
             def body(carry, xs):
-                cb, w = xs
-                l_c, g_c = jax.value_and_grad(chunk_loss_fn)(params, cb)
-                return (carry[0] + w * l_c,
+                cb, ws, wp = xs
+                l_c, g_c = jax.value_and_grad(chunk_loss_fn)(
+                    params, cb, ws, wp)
+                return (carry[0] + l_c,
                         jax.tree_util.tree_map(
-                            lambda a, g: a + w * g, carry[1], g_c)), None
+                            lambda a, g: a + g, carry[1], g_c)), None
             init = (jnp.zeros((), dtype),
                     jax.tree_util.tree_map(jnp.zeros_like, params))
-            (loss, grads), _ = jax.lax.scan(body, init, (mb, chunk_w))
+            (loss, grads), _ = jax.lax.scan(body, init,
+                                            (mb, chunk_w, pack_w))
             return loss, grads
 
     # fake rollout — same value every unroll iteration AND in the G step
@@ -382,7 +395,7 @@ def gan_step(
            else (lambda p: p))    # SN-GAN: normalize at every D evaluation
 
     def _d_loss_parts(d_params, obsv_4d_, pred_hat_, pred_4d_, noise_,
-                      valid_, zeros_, ones_):
+                      valid_, zeros_, ones_, w_label=1.0, w_rest=1.0):
         nn = obsv_4d_.shape[0]
         dp = cast(_sn(d_params))
         obsv_code = encode_obsv(dp, cast(obsv_4d_), cfg.remat_steps)
@@ -399,7 +412,8 @@ def gan_step(
         loss = lsgan_d_loss(fake_label, real_label, fake_code, noise_,
                             valid_, zeros_, ones_, cfg.use_info_loss,
                             cfg.loss_info_w, cfg.n_latent_codes,
-                            cfg.latent_code_type, label_valid=gv)
+                            cfg.latent_code_type, label_valid=gv,
+                            w_label=w_label, w_info=w_rest)
         if cfg.r1_gamma > 0:
             # R1: penalize ‖∇_pred D(obsv, pred_real)‖² (second-order grads
             # flow through this when the loss is differentiated)
@@ -411,17 +425,18 @@ def gan_step(
             per = jnp.sum(g_real.reshape(nn, -1) ** 2, axis=-1)
             r1 = jnp.sum(jnp.where(valid_, per, 0.0)) / jnp.maximum(
                 jnp.sum(valid_), 1)
-            loss = loss + 0.5 * cfg.r1_gamma * r1
+            loss = loss + w_rest * 0.5 * cfg.r1_gamma * r1
         return loss
 
     def d_loss_fn(d_params):
         return _d_loss_parts(d_params, obsv_4d, pred_hat_4d_d, pred_4d_d,
                              noise, valid, zeros_t, ones_t)
 
-    def _d_chunk_loss(d_params, cb):
+    def _d_chunk_loss(d_params, cb, ws, wp):
         return _d_loss_parts(d_params, cb["obsv_4d"], cb["pred_hat"],
                              cb["pred_4d"], cb["noise"], cb["valid"],
-                             cb["zeros"], cb["ones"])
+                             cb["zeros"], cb["ones"],
+                             w_label=wp, w_rest=ws)
 
     if accum:
         def d_value_and_grad(d_params):
@@ -429,10 +444,10 @@ def gan_step(
 
         def d_loss_value(d_params):
             def body(c, xs):
-                cb, w = xs
-                return c + w * _d_chunk_loss(d_params, cb), None
+                cb, ws, wp = xs
+                return c + _d_chunk_loss(d_params, cb, ws, wp), None
             loss, _ = jax.lax.scan(body, jnp.zeros((), dtype),
-                                   (mb, chunk_w))
+                                   (mb, chunk_w, pack_w))
             return loss
     else:
         d_value_and_grad = jax.value_and_grad(d_loss_fn)
@@ -512,7 +527,7 @@ def gan_step(
         return loss
 
     if accum:
-        def _g_chunk_loss(g_params, cb):
+        def _g_chunk_loss(g_params, cb, ws, wp):
             ph = rollout_on(g_params, cb["obsv"], cb["noise"],
                             cb["scene_ids"])
             ph_in = ph if eps_g is None else ph + sigma * cb["eps_g"]
@@ -524,9 +539,10 @@ def gan_step(
                                 cb["valid"], cb["ones"], cfg.use_info_loss,
                                 cfg.loss_info_w, cfg.n_latent_codes,
                                 cfg.latent_code_type,
-                                label_valid=group_valid(cb["valid"]))
+                                label_valid=group_valid(cb["valid"]),
+                                w_label=wp, w_info=ws)
             if cfg.use_l2_loss:
-                loss = loss + cfg.loss_l2_w * l2_traj_loss(
+                loss = loss + ws * cfg.loss_l2_w * l2_traj_loss(
                     ph[..., :2], cb["pred"], cb["valid"])
             return loss
 

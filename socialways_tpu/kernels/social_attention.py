@@ -608,7 +608,8 @@ def social_attention_fused(params: Dict, x4_last: jnp.ndarray,
     Pallas backward is unavailable (n > the VMEM agent cap) and the caller
     can bound rows-per-scene, the vjp uses the linear windowed form
     instead of the O(N²) blockwise one (measured 3-8× faster)."""
-    return _pallas_forward(params, x4_last, h, scene_ids)
+    return _pallas_forward(params, x4_last, h, scene_ids,
+                           interpret=_FWD_INTERPRET)
 
 
 # Pallas backward keeps the full residents (x4, g f32; h, wh in the
@@ -618,6 +619,9 @@ def social_attention_fused(params: Dict, x4_last: jnp.ndarray,
 # shared and conservative.)
 _PALLAS_BWD_MAX_AGENTS = 8192
 _BWD_INTERPRET = False    # tests set True to run the Pallas backward on CPU
+_FWD_INTERPRET = False    # tests set True to route the DISPATCH path (incl.
+#                           under shard_map meshes) through the fused kernel
+#                           in interpret mode on CPU
 
 
 def _use_pallas_bwd(h) -> bool:
@@ -635,12 +639,14 @@ def _use_pallas_bwd(h) -> bool:
 def _fwd(params, x4_last, h, scene_ids, max_scene=0):
     if _use_pallas_bwd(h):
         out_pad, stats = _pallas_forward(params, x4_last, h, scene_ids,
-                                         with_stats=True)
+                                         with_stats=True,
+                                         interpret=_FWD_INTERPRET)
         out = out_pad[:h.shape[0]].astype(h.dtype)
         return out, (params, x4_last, h, scene_ids, out_pad, stats)
     # light residuals — the blockwise backward never reads out/stats, so
     # don't hold ~n·(H+2) f32 alive across the forward-to-backward span
-    out = _pallas_forward(params, x4_last, h, scene_ids)
+    out = _pallas_forward(params, x4_last, h, scene_ids,
+                          interpret=_FWD_INTERPRET)
     return out, (params, x4_last, h, scene_ids, None, None)
 
 
@@ -702,7 +708,8 @@ def social_attention(params: Dict, x4_last, h, scene_ids,
     n = h.shape[0]
     cap = (_PALLAS_MAX_AGENTS_BF16 if h.dtype == jnp.bfloat16
            else _PALLAS_MAX_AGENTS)
-    if use_pallas and jax.default_backend() == "tpu" and n <= cap:
+    if use_pallas and n <= cap and (jax.default_backend() == "tpu"
+                                    or _FWD_INTERPRET):
         return social_attention_fused(params, x4_last, h, scene_ids,
                                       max_scene)
     if n > _DENSE_MAX_AGENTS:

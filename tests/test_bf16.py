@@ -92,3 +92,36 @@ def test_bf16_eval_chunk_close_to_f32():
     np.testing.assert_allclose(float(e_bf.ade_avg), float(e_f32.ade_avg),
                                rtol=0.05, atol=0.02)
     assert int(e_bf.n_samples) == int(e_f32.n_samples)
+
+
+def test_bf16_grad_accum_matches_full_batch():
+    """--bf16 composes with --grad-accum (the crowd-scale memory recipe:
+    bf16 chunk compute halves the live micro-chunk residuals).  Chunks are
+    scene-aligned so per-row forward math is identical; loss reductions and
+    gradient accumulation stay f32 — accum == full-batch to f32-reduction
+    tolerance even with a padded tail."""
+    cfg = BF16.replace(n_unrolling_steps=1)
+    cfg_a = cfg.replace(grad_accum=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch(n=16, key=3)
+    valid = np.asarray(batch["valid"]).copy()
+    valid[14:] = False
+    ids = np.asarray(batch["scene_ids"]).copy()
+    ids[14:] = -1
+    batch["valid"], batch["scene_ids"] = jnp.asarray(valid), jnp.asarray(ids)
+    rng = jax.random.PRNGKey(6)
+    s_full, m_full = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+    s_acc, m_acc = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_a))(
+        state, batch, rng)
+    np.testing.assert_allclose(float(m_acc.g_loss), float(m_full.g_loss),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(m_acc.d_loss), float(m_full.d_loss),
+                               rtol=2e-3)
+    for tree_a, tree_b in ((s_acc.g_params, s_full.g_params),
+                           (s_acc.d_params, s_full.d_params)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-3, atol=5e-5),
+            tree_a, tree_b)

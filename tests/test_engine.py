@@ -734,12 +734,32 @@ def test_pac_rejects_indivisible_batch():
         gan_step(state, _batch(n=8), jax.random.PRNGKey(1), cfg)
 
 
-def test_pac_grad_accum_composes():
-    cfg = CFG.replace(pac=2, grad_accum=2)
+@pytest.mark.parametrize("n_valid", [8, 5])
+def test_pac_grad_accum_composes(n_valid):
+    """pac>1 under grad_accum must equal the full-batch step exactly.
+    n_valid=5 makes pack (4,5) MIXED (one valid, one padding sample): the
+    label term is a mean over valid PACKS while info is over valid SAMPLES,
+    so accumulation weights the two terms by different per-chunk shares —
+    a single sample-share weight would skew the D gradient here."""
+    cfg = CFG.replace(pac=2, n_unrolling_steps=1)
+    cfg_a = cfg.replace(grad_accum=2)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
-    _, m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
-        state, _batch(n=8), jax.random.PRNGKey(1))
-    assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+    batch = _batch(n=8, n_scenes=2, n_valid=n_valid, key=11)
+    rng = jax.random.PRNGKey(6)
+    s_full, m_full = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+    s_acc, m_acc = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_a))(
+        state, batch, rng)
+    np.testing.assert_allclose(float(m_acc.g_loss), float(m_full.g_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_acc.d_loss), float(m_full.d_loss),
+                               rtol=1e-5)
+    for tree_a, tree_b in ((s_acc.g_params, s_full.g_params),
+                           (s_acc.d_params, s_full.d_params)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            tree_a, tree_b)
 
 
 def test_d_input_noise_perturbs_then_anneals_to_parity():
@@ -914,3 +934,48 @@ def test_ensemble_coverage_per_member(toy_ds):
     assert len(covs) == 2
     for c in covs:
         assert 0.0 <= c <= 1.0
+
+
+def test_ensemble_mesh_matches_single_chip(toy_ds):
+    """EnsembleTrainer(mesh=...) shards the member axis over the 8-device
+    mesh (shard_map around the vmap; data replicated, zero collectives) —
+    per-member training, eval and coverage must match the single-chip
+    vmapped ensemble up to float reassociation."""
+    from socialways_tpu.engine import EnsembleTrainer, Trainer
+    from socialways_tpu.parallel import make_mesh
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                      batch_size=64, n_unrolling_steps=1, seed=0,
+                      n_gen_samples=4)
+    ens_flat = EnsembleTrainer(Trainer(cfg, toy_ds))
+    ens_mesh = EnsembleTrainer(Trainer(cfg, toy_ds), mesh=make_mesh(8))
+    seeds = list(range(8))
+    rngs = jnp.stack([jax.random.PRNGKey(100 + s) for s in seeds])
+
+    s_f = ens_flat.init_states(seeds)
+    s_m = ens_mesh.init_states(seeds)
+    s_f, m_f = ens_flat.train_epochs(s_f, rngs, n=2)
+    s_m, m_m = ens_mesh.train_epochs(s_m, rngs, n=2)
+    np.testing.assert_allclose(np.asarray(m_m["g_loss"]),
+                               np.asarray(m_f["g_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_m.g_params["embed"]["w"]),
+                               np.asarray(s_f.g_params["embed"]["w"]),
+                               rtol=2e-4, atol=1e-6)
+
+    ev_f = ens_flat.evaluate(s_f, rngs, n_gen_samples=4)
+    ev_m = ens_mesh.evaluate(s_m, rngs, n_gen_samples=4)
+    for a, b in zip(ev_m, ev_f):
+        assert a["ade_min"] == pytest.approx(b["ade_min"], rel=2e-4)
+
+    cov_f = ens_flat.coverage(s_f, rngs, n_samples=16)
+    cov_m = ens_mesh.coverage(s_m, rngs, n_samples=16)
+    assert cov_m == pytest.approx(cov_f, abs=1e-6)
+
+
+def test_ensemble_mesh_rejects_indivisible_members(toy_ds):
+    from socialways_tpu.engine import EnsembleTrainer, Trainer
+    from socialways_tpu.parallel import make_mesh
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                      batch_size=64)
+    ens = EnsembleTrainer(Trainer(cfg, toy_ds), mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="not divisible"):
+        ens.init_states([0, 1, 2])

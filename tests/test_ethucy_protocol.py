@@ -83,3 +83,57 @@ def test_merge_scenes_equals_fold_npz(tmp_path):
     np.testing.assert_array_equal(np.asarray(ds_a.batches),
                                   np.asarray(ds_b.batches))
     assert abs(ds_a.ss - ds_b.ss) < 1e-12
+
+
+def test_auto_discovery_prepares_and_runs_loo(tmp_path):
+    """The unattended readiness path (cli eth-ucy on a raw --data-dir):
+    obsmat files in a standard public layout are discovered, format-
+    validated, fingerprinted and windowed; invalid decoys are skipped; the
+    LOO protocol then runs on the built npz with zero ceremony."""
+    from socialways_tpu.cli.main import main as cli_main
+    from socialways_tpu.engine.ethucy import discover_obsmat, validate_obsmat
+
+    data = tmp_path / "raw"
+    layout = {
+        "eth": data / "ewap_dataset" / "seq_eth" / "obsmat.txt",
+        "hotel": data / "ewap_dataset" / "seq_hotel" / "obsmat.txt",
+        "univ": data / "crowds" / "students003" / "obsmat.txt",
+        "zara1": data / "crowds" / "zara01" / "obsmat.txt",
+        "zara2": data / "obsmat_zara2.txt",
+    }
+    for scene, path in layout.items():
+        os.makedirs(path.parent, exist_ok=True)
+        write_obsmat(make_scene(scene, n_agents=30, seed=1), str(path))
+    # a decoy that must fail validation (wrong column count)
+    decoy = data / "notes_obsmat.txt"
+    decoy.write_text("1 2 3\n4 5 6\n")
+
+    found = discover_obsmat(str(data))
+    assert {s: os.path.abspath(p) for s, p in found.items()} == {
+        s: os.path.abspath(str(p)) for s, p in layout.items()}
+    v = validate_obsmat(str(layout["eth"]))
+    assert v["ok"] and len(v["sha256"]) == 64
+    assert not validate_obsmat(str(decoy))["ok"]
+
+    out_json = str(tmp_path / "loo.json")
+    # full auto path: discovery + build via --prepare-only (all 5 scenes)
+    assert cli_main(["eth-ucy", "--data-dir", str(data), "--prepare-only",
+                     "--out-json", out_json]) == 0
+    import json as _json
+    with open(out_json) as fh:
+        manifest = _json.load(fh)["scenes"]
+    for s in ("eth", "hotel", "univ", "zara1", "zara2"):
+        assert os.path.exists(manifest[s]["npz"])
+        assert manifest[s]["built"]
+        assert manifest[s]["sha256"] == validate_obsmat(
+            str(layout[s]))["sha256"]
+
+    # tiny end-to-end LOO through the SAME cli on two scenes
+    assert cli_main(["eth-ucy", "--data-dir", str(data),
+                     "--scenes", "eth,hotel", "--epochs", "1",
+                     "--h-size", "16", "--batch-size", "64", "--k", "2",
+                     "--out-json", out_json]) == 0
+    with open(out_json) as fh:
+        res = _json.load(fh)["folds"]
+    for scene in ("eth", "hotel"):
+        assert np.isfinite(res[scene]["ade_min"])

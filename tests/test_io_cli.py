@@ -134,6 +134,37 @@ def test_viz_render(tmp_path, toy_npz):
     assert im.std() > 1.0
 
 
+def test_cli_anneal_horizon_counts_optimizer_steps(tmp_path, toy_npz,
+                                                   capsys):
+    """--d-input-noise-steps -1 anneals over OPTIMIZER steps: a --mesh N
+    epoch performs ~n_chunks/N synchronized DP steps, so the horizon must
+    shrink with the mesh (counting raw chunks would leave sigma at
+    ~(1-1/N)·sigma0 at run end — round-2 advisor finding)."""
+    import math
+    import re
+
+    def run(extra):
+        model_dir = str(tmp_path / ("m_" + "_".join(extra) or "flat"))
+        rc = cli_main(["train", "--data", toy_npz, "--epochs", "2",
+                       "--h-size", "16", "--batch-size", "32",
+                       "--model-dir", model_dir, "--save-interval", "50",
+                       "--test-interval", "50", "--dataset", "toy",
+                       "--d-input-noise", "0.05",
+                       "--d-input-noise-steps", "-1"] + extra)
+        out = capsys.readouterr().out
+        assert rc == 0
+        total = int(re.search(r"anneal over the full run: (\d+)", out)
+                    .group(1))
+        chunks = int(re.search(r"chunks: (\d+)", out).group(1))
+        return total, chunks
+
+    total_1, chunks = run([])
+    assert chunks > 1, "toy pack too small to exercise the horizon"
+    assert total_1 == 2 * chunks
+    total_m, _ = run(["--mesh", "2"])
+    assert total_m == 2 * math.ceil(chunks / 2)
+
+
 def test_cli_train_short_run_saves_final_checkpoint(tmp_path, toy_npz):
     """A run shorter than save-interval must still leave a checkpoint
     (the reference would end with nothing on disk, train.py:651-663) so
