@@ -6,10 +6,13 @@ This is the fast path for seed-robustness protocols: all members train
 jointly (vmapped fused epochs), so a 3-seed 40k-step sweep costs roughly
 one run of wall clock on a TPU chip.  It covers the SIMPLE recipe surface
 (everything expressed in TrainConfig: info weight, d-lr decay, instance
-noise, spectral norm, latent codes...).  Host-side rescue logic
-(--auto-recover / --stall-recover) is NOT replicated — for recipes that
-depend on rescues, use benchmarks/coverage_robustness.py (the production
-`cli train` path).
+noise, spectral norm, latent codes...) plus, with --auto-recover,
+PER-MEMBER divergence rescue mirroring `cli train --auto-recover`'s rule
+(non-finite train ADE or >5x member best + 0.1 → restore that member from
+its best-coverage snapshot; other members untouched).  The schedule-clock
+transplant (--rescue-keep-clock) is NOT replicated — for anneal recipes
+that outlive their horizon under rescues, use
+benchmarks/coverage_robustness.py (the production `cli train` path).
 
 Usage:
     python benchmarks/coverage_ensemble.py --toy big --seeds 0,1,2 \
@@ -57,6 +60,9 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the member axis over an N-device mesh "
                          "(len(seeds) %% N == 0); members stay independent")
+    ap.add_argument("--auto-recover", action="store_true",
+                    help="per-member divergence rescue: restore a diverged "
+                         "member from its own best-coverage snapshot")
     args = ap.parse_args()
 
     if args.cpu_devices:
@@ -105,6 +111,13 @@ def main():
     rngs = jnp.stack([jax.random.PRNGKey(1000 + s) for s in seeds])
 
     history = {s: [] for s in seeds}
+    # per-member rescue state: best-coverage snapshot + cli train's
+    # divergence rule (NaN or train ADE > 5x member best + 0.1)
+    best_cov = [-1.0] * len(seeds)
+    best_ade = [float("inf")] * len(seeds)
+    snapshots = [jax.tree_util.tree_map(lambda x: x[i], states)
+                 for i in range(len(seeds))] if args.auto_recover else None
+    rescues = {s: 0 for s in seeds}
     done = 0
     tic = time.perf_counter()
     while done < total_epochs:
@@ -113,11 +126,30 @@ def main():
         states, m = ens.train_epochs(states, rngs, n=n)
         done += n
         covs = ens.coverage(states, rngs)
+        ades = np.asarray(m["train_ade"], np.float64)
         for s, c in zip(seeds, covs):
             history[s].append(round(c, 4))
+        if args.auto_recover:
+            for i, s in enumerate(seeds):
+                diverged = (not np.isfinite(ades[i])
+                            or ades[i] > 5 * best_ade[i] + 0.1)
+                if np.isfinite(ades[i]):
+                    best_ade[i] = min(best_ade[i], float(ades[i]))
+                if diverged and best_cov[i] >= 0:
+                    states = jax.tree_util.tree_map(
+                        lambda st, sn: st.at[i].set(sn),
+                        states, snapshots[i])
+                    rescues[s] += 1
+                    print(f"  [seed {s}] diverged (ade {ades[i]:.3g}) — "
+                          f"restored best-coverage snapshot "
+                          f"(cov {best_cov[i]:.2f})", flush=True)
+                elif covs[i] > best_cov[i]:
+                    best_cov[i] = covs[i]
+                    snapshots[i] = jax.tree_util.tree_map(
+                        lambda x: x[i], states)
         print(f"epoch {done * spe}/{total_epochs * spe} steps: "
               f"coverage {['%.2f' % c for c in covs]}, "
-              f"ade {[float(f'{a:.4f}') for a in np.asarray(m['train_ade'])]}",
+              f"ade {[float(f'{a:.4f}') for a in ades]}",
               flush=True)
     wall = time.perf_counter() - tic
 
@@ -133,6 +165,7 @@ def main():
                 float(np.mean(history[s][-5:])), 4),
             "final_ade_min20": round(float(ev[i]["ade_min"]), 4)
             if ev else None,
+            "rescues": rescues[s],
             "coverage_curve": history[s],
         }
     print(json.dumps(result))
