@@ -811,6 +811,21 @@ def cmd_animate(args) -> int:
     return 0
 
 
+def cmd_plot_tracks(args) -> int:
+    from socialways_tpu.data import (BIWIParser, SDDParser, SeyfriedParser,
+                                     TrajnetParser)
+    from socialways_tpu.viz.tracks import plot_tracks
+    parser_cls = {"biwi": BIWIParser, "trajnet": TrajnetParser,
+                  "sdd": SDDParser, "seyfried": SeyfriedParser}[args.parser]
+    p = parser_cls()
+    p.load(args.input, down_sample=args.down_sample)
+    n = plot_tracks(p.p_data, args.out, min_len=args.min_len,
+                    title=os.path.basename(args.input))
+    print(f"wrote {args.out}: {n}/{len(p.p_data)} tracks "
+          f"(min_len {args.min_len})")
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from socialways_tpu.viz.heatmap import render_preds_dir
     out = render_preds_dir(args.preds_dir, args.out,
@@ -940,6 +955,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-pallas", action="store_true")
     _add_model_flags(p)
     p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("plot-tracks",
+                       help="eyeball raw parsed tracks (reference "
+                            "pick_subset.py as a real subcommand)")
+    p.add_argument("input")
+    p.add_argument("--out", required=True)
+    p.add_argument("--parser", default="sdd",
+                   choices=["biwi", "trajnet", "sdd", "seyfried"])
+    p.add_argument("--down-sample", type=int, default=1)
+    p.add_argument("--min-len", type=int, default=0)
+    p.set_defaults(fn=cmd_plot_tracks)
 
     p = sub.add_parser("animate", help="toy-dataset gif animation")
     p.add_argument("--npz", required=True)

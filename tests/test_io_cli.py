@@ -178,3 +178,19 @@ def test_cli_train_short_run_saves_final_checkpoint(tmp_path, toy_npz):
     assert os.path.isfile(ckpt)
     assert cli_main(["evaluate", "--data", toy_npz, "--model-file", ckpt,
                      "--h-size", "16", "--k", "2"]) == 0
+
+
+def test_cli_plot_tracks(tmp_path):
+    """plot-tracks parses an annotation file and writes a PNG (reference
+    pick_subset.py's eyeballing loop as a subcommand)."""
+    ann = tmp_path / "biwi.txt"
+    rows = []
+    for aid in (1, 2, 3):
+        for k in range(6):
+            t = 10 * (k + 1)
+            rows.append(f"{t} {aid} {0.1 * k + aid} 0 {0.2 * k} 0 0 0")
+    ann.write_text("\n".join(rows) + "\n")
+    out = tmp_path / "tracks.png"
+    rc = cli_main(["plot-tracks", str(ann), "--parser", "biwi",
+                   "--out", str(out), "--min-len", "3"])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0

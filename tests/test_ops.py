@@ -345,3 +345,59 @@ def test_social_feature_grads_finite_despite_self_pairs():
     g2 = jax.grad(lambda x: jnp.sum(
         social_context_blockwise(p, x, h, ids, block=8)))(x4)
     assert bool(jnp.all(jnp.isfinite(g2)))
+
+
+class TestKalman:
+    """Constant-acceleration KF/RTS (reference's dead MyKalman,
+    linear_models.py:23-97, rebuilt live)."""
+
+    def _noisy_line(self, seed=0, T=40, sigma=0.15):
+        rng = np.random.RandomState(seed)
+        t = np.arange(T, dtype=np.float32)
+        truth = np.stack([0.3 * t, -0.2 * t + 1.0], axis=-1)
+        return truth, truth + sigma * rng.randn(T, 2).astype(np.float32)
+
+    def test_smoother_beats_measurements(self):
+        from socialways_tpu.ops import kalman_filter, kalman_smooth
+        truth, z = self._noisy_line()
+        p_f, v_f = kalman_filter(jnp.asarray(z))
+        p_s, v_s = kalman_smooth(jnp.asarray(z))
+        err_meas = float(np.mean((z - truth) ** 2))
+        err_smooth = float(np.mean((np.asarray(p_s) - truth) ** 2))
+        assert err_smooth < 0.5 * err_meas
+        # smoothed velocity tail near the true (0.3, -0.2); the reference's
+        # Q (const-accel, x0.5) is deliberately loose, so check the mean and
+        # a coarse per-step envelope rather than tight elementwise parity
+        vm = np.asarray(v_s)[10:]
+        np.testing.assert_allclose(vm.mean(axis=0), [0.3, -0.2], atol=0.05)
+        assert float(np.abs(vm - [0.3, -0.2]).max()) < 0.15
+        assert bool(jnp.all(jnp.isfinite(p_f))) and bool(
+            jnp.all(jnp.isfinite(v_f)))
+
+    def test_single_measurement_guard(self):
+        from socialways_tpu.ops import kalman_smooth
+        z = jnp.asarray(np.array([[2.0, 3.0]], np.float32))
+        p, v = kalman_smooth(z)
+        np.testing.assert_allclose(np.asarray(p), [[2.0, 3.0]])
+        np.testing.assert_allclose(np.asarray(v), [[0.0, 0.0]])
+
+    def test_predict_kalman_matches_cv_on_exact_line(self):
+        from socialways_tpu.ops import predict_cv, predict_kalman
+        t = np.arange(20, dtype=np.float32)
+        obsv = jnp.asarray(np.stack([0.5 * t, 2.0 - 0.1 * t], axis=-1))
+        pk = predict_kalman(obsv, 12)
+        pcv = predict_cv(obsv, 12)
+        # on an exact line the accel estimate decays to ~0 and the KF
+        # forecast converges to the CV extrapolation
+        np.testing.assert_allclose(np.asarray(pk), np.asarray(pcv),
+                                   atol=0.01)
+
+    def test_batched_and_jittable(self):
+        from socialways_tpu.ops import kalman_smooth, predict_kalman
+        rng = np.random.RandomState(1)
+        z = jnp.asarray(rng.randn(3, 5, 20, 2).astype(np.float32))
+        p, v = jax.jit(kalman_smooth)(z)
+        assert p.shape == (3, 5, 20, 2) and v.shape == (3, 5, 20, 2)
+        out = jax.jit(lambda x: predict_kalman(x, 4))(z)
+        assert out.shape == (3, 5, 4, 2)
+        assert bool(jnp.all(jnp.isfinite(out)))
