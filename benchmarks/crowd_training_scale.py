@@ -33,7 +33,7 @@ def bench_size(n: int, args) -> dict:
         n_past=8, n_next=12, n_unrolling_steps=args.unroll,
         use_social=True, max_scene_size=args.max_scene_size,
         remat_steps=args.remat_steps, serial_rollout=args.serial_rollout,
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, use_pallas=args.pallas,
         compute_dtype="bfloat16" if args.bf16 else "float32")
     if args.grad_accum > 1:
         chunk_rows = n // args.grad_accum
@@ -99,6 +99,9 @@ def main():
     ap.add_argument("--serial-rollout", action="store_true")
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="route attention through the Pallas kernels "
+                         "(chunked fused fwd+bwd above the VMEM caps)")
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="")
@@ -110,6 +113,7 @@ def main():
         r["flags"] = {"max_scene": args.max_scene_size,
                       "remat": args.remat_steps,
                       "serial": args.serial_rollout, "bf16": args.bf16,
+                      "pallas": args.pallas,
                       "unroll": args.unroll, "grad_accum": args.grad_accum}
         print(json.dumps(r), flush=True)
         results.append(r)

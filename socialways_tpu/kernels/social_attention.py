@@ -679,6 +679,61 @@ def _bwd(max_scene, res, g):
 social_attention_fused.defvjp(_fwd, _bwd)
 
 
+def social_attention_chunked(params: Dict, x4_last: jnp.ndarray,
+                             h: jnp.ndarray, scene_ids: jnp.ndarray,
+                             max_scene: int, chunk: int = 0) -> jnp.ndarray:
+    """Fused Pallas attention beyond the VMEM agent caps: linear in N.
+
+    The fused kernel (and especially its backward pair) keeps all N agents
+    VMEM-resident, capping it at 8-32k agents.  This wrapper restores the
+    kernel at crowd scale: scene ids are sorted and contiguous with scenes
+    of ≤ ``max_scene`` rows (the same caller contract as the windowed XLA
+    form), so a row's whole scene lies within ``max_scene - 1`` rows of it.
+    ``lax.map`` over row chunks then calls the fused kernel on
+    [chunk + 2·halo]-row slices and keeps each slice's middle ``chunk``
+    rows — every (i, j) pair is computed exactly once as a kept query, so
+    outputs AND gradients (via each slice's custom vjp + the slice
+    scatter-add transpose) match the unchunked kernel exactly.
+
+    Slice layout keeps the kernel's sorted-ids REQUIREMENT: real ids shift
+    +1 so the front halo can use id 0 — valid-looking (≥ 0, so the band
+    sentinel keeps monotone order) but matching no real scene; tail padding
+    stays −1.  Halo rows' outputs are dropped (zero cotangent), so they
+    contribute no spurious gradient.
+
+    Default ``chunk`` fills the backward cap: 8192 − 2·max_scene rows per
+    kernel call (halo overhead 2·max_scene/chunk ≈ 1.6% at max_scene=64).
+    """
+    n, hdim = h.shape
+    halo = int(max_scene)
+    if chunk <= 0:
+        chunk = _PALLAS_BWD_MAX_AGENTS - 2 * halo
+    assert chunk > 0, "max_scene too large for the Pallas VMEM caps"
+    n_chunks = -(-n // chunk)
+    pad_tail = n_chunks * chunk - n + halo
+
+    ids_shift = jnp.where(scene_ids >= 0,
+                          scene_ids.astype(jnp.int32) + 1, -1)
+    x4_p = jnp.concatenate([jnp.zeros((halo, 4), x4_last.dtype), x4_last,
+                            jnp.zeros((pad_tail, 4), x4_last.dtype)])
+    h_p = jnp.concatenate([jnp.zeros((halo, hdim), h.dtype), h,
+                           jnp.zeros((pad_tail, hdim), h.dtype)])
+    ids_p = jnp.concatenate([jnp.zeros((halo,), jnp.int32), ids_shift,
+                             jnp.full((pad_tail,), -1, jnp.int32)])
+
+    m = chunk + 2 * halo
+
+    def one_chunk(c):
+        s = c * chunk
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, m)
+        out = social_attention_fused(params, sl(x4_p), sl(h_p), sl(ids_p),
+                                     max_scene)
+        return out[halo:halo + chunk]
+
+    out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    return out.reshape(n_chunks * chunk, hdim)[:n]
+
+
 # the fused kernel keeps the full (x4, ids, h, Wh) arrays VMEM-resident.
 # Measured on v5e at H=64: standalone the kernel compiles to 40960 agents
 # f32 / 57344 bf16, but COMPOSED inside a larger program (the sim's
@@ -698,9 +753,13 @@ def social_attention(params: Dict, x4_last, h, scene_ids,
     """Size-aware dispatch.
 
     - Pallas fused kernel: requested + TPU + fits VMEM (≤16k agents);
+    - chunked Pallas (O(N·max_scene) work — LINEAR in N, fused fwd+bwd
+      kernels per row chunk): requested + TPU + beyond the VMEM cap, when
+      the caller bounds rows-per-scene (``max_scene > 0``) — the Pallas
+      path to million-agent crowd TRAINING;
     - windowed XLA (O(N·max_scene) work — LINEAR in N): larger inputs
       when the caller can bound rows-per-scene (``max_scene > 0``; ids
-      sorted + contiguous) — the path to million-agent crowds;
+      sorted + contiguous) — the non-Pallas crowd path;
     - blockwise streamed XLA (O(N²) work, O(N·block) memory): larger
       inputs with unbounded scenes;
     - dense XLA reference: small inputs (fewer, fatter ops win there).
@@ -708,10 +767,14 @@ def social_attention(params: Dict, x4_last, h, scene_ids,
     n = h.shape[0]
     cap = (_PALLAS_MAX_AGENTS_BF16 if h.dtype == jnp.bfloat16
            else _PALLAS_MAX_AGENTS)
-    if use_pallas and n <= cap and (jax.default_backend() == "tpu"
-                                    or _FWD_INTERPRET):
+    on_pallas_backend = (jax.default_backend() == "tpu" or _FWD_INTERPRET)
+    if use_pallas and n <= cap and on_pallas_backend:
         return social_attention_fused(params, x4_last, h, scene_ids,
                                       max_scene)
+    if (use_pallas and n > cap and max_scene > 0 and on_pallas_backend
+            and 2 * max_scene < _PALLAS_BWD_MAX_AGENTS):
+        return social_attention_chunked(params, x4_last, h, scene_ids,
+                                        max_scene)
     if n > _DENSE_MAX_AGENTS:
         if max_scene > 0:
             return social_xla.social_context_windowed(

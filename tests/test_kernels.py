@@ -240,3 +240,72 @@ def test_fused_fallback_backward_uses_windowed_when_bounded():
     np.testing.assert_allclose(np.asarray(g_win.astype(jnp.float32)),
                                np.asarray(g_blk.astype(jnp.float32)),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_chunked_pallas_matches_windowed_xla_fwd_and_grads():
+    """social_attention_chunked (fused kernel per row chunk with scene
+    halos) == the windowed XLA form, forward and gradients, including the
+    chunk-straddling scenes, a padding tail, and a final partial chunk."""
+    import sys
+    sa = sys.modules["socialways_tpu.kernels.social_attention"]
+    from socialways_tpu.ops.social import social_context_windowed
+
+    p, x4, h, ids = _setup(700, 10, key=5)
+    ids = np.asarray(ids).copy()
+    ids[690:] = -1                    # padding tail
+    ids = jnp.asarray(ids)
+    max_scene = 16
+
+    orig = (sa._FWD_INTERPRET, sa._BWD_INTERPRET)
+    sa._FWD_INTERPRET = sa._BWD_INTERPRET = True
+    try:
+        def loss_chunked(p, x4, h):
+            out = sa.social_attention_chunked(p, x4, h, ids,
+                                              max_scene, chunk=256)
+            return jnp.sum(jnp.sin(out)), out
+
+        def loss_ref(p, x4, h):
+            out = social_context_windowed(p, x4, h, ids,
+                                          max_scene=max_scene)
+            return jnp.sum(jnp.sin(out)), out
+
+        (l1, o1), g1 = jax.value_and_grad(loss_chunked, argnums=(0, 1, 2),
+                                          has_aux=True)(p, x4, h)
+        (l2, o2), g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2),
+                                          has_aux=True)(p, x4, h)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(o1[690:]), 0.0)
+        for a, b, name in [(g1[0], g2[0], "params"), (g1[1], g2[1], "x4"),
+                           (g1[2], g2[2], "h")]:
+            jax.tree_util.tree_map(
+                lambda x, y: np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-4,
+                    err_msg=name), a, b)
+    finally:
+        sa._FWD_INTERPRET, sa._BWD_INTERPRET = orig
+
+
+def test_dispatch_routes_large_n_to_chunked():
+    """social_attention with use_pallas + n past the VMEM cap + bounded
+    scenes routes through the chunked Pallas path (checked by value parity
+    with a small artificial cap, interpret mode)."""
+    import sys
+    sa = sys.modules["socialways_tpu.kernels.social_attention"]
+    from socialways_tpu.ops.social import social_context_windowed
+
+    p, x4, h, ids = _setup(300, 10, key=6)
+    orig = (sa._FWD_INTERPRET, sa._BWD_INTERPRET, sa._PALLAS_MAX_AGENTS,
+            sa._PALLAS_BWD_MAX_AGENTS)
+    sa._FWD_INTERPRET = sa._BWD_INTERPRET = True
+    sa._PALLAS_MAX_AGENTS = 128       # force n=300 past the fused cap
+    sa._PALLAS_BWD_MAX_AGENTS = 128   # chunked slices sized to this cap
+    try:
+        got = sa.social_attention(p, x4, h, ids, use_pallas=True,
+                                  max_scene=16)
+        ref = social_context_windowed(p, x4, h, ids, max_scene=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+    finally:
+        (sa._FWD_INTERPRET, sa._BWD_INTERPRET, sa._PALLAS_MAX_AGENTS,
+         sa._PALLAS_BWD_MAX_AGENTS) = orig
