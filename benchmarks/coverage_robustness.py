@@ -141,6 +141,20 @@ RECIPES = {
         "--auto-recover", "--block-size", "1000", "--info-weight", "2.0",
         "--d-input-noise", "0.05", "--d-input-noise-steps", "40000",
         "--stall-recover", "4", "--rescue-keep-clock"],
+    # round-3: ProGAN minibatch stddev — D sees the fake/real block's
+    # diversity scalar; the one canonical anti-collapse lever untried,
+    # alone and composed with the documented big-toy winner
+    "robust1+info2+mbstd": ["--d-lr-decay-rate", "0.7",
+                            "--d-lr-decay-steps", "10000",
+                            "--auto-recover", "--block-size", "1000",
+                            "--info-weight", "2.0", "--mb-std"],
+    "robust1+info2+inoise2+mbstd": ["--d-lr-decay-rate", "0.7",
+                                    "--d-lr-decay-steps", "10000",
+                                    "--auto-recover", "--block-size",
+                                    "1000", "--info-weight", "2.0",
+                                    "--d-input-noise", "0.05",
+                                    "--d-input-noise-steps", "40000",
+                                    "--mb-std"],
     # SN-GAN spectral normalization: the Lipschitz-bound alternative to
     # instance noise, alone and composed with the inoise winner
     "robust1+sn": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",

@@ -121,6 +121,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "power iteration; Q-head and LSTM untouched) — "
                         "bounds D's Lipschitz constant (off = reference "
                         "parity)")
+    p.add_argument("--mb-std", action="store_true",
+                   help="ProGAN minibatch stddev: append the fake/real "
+                        "block's diversity scalar to D's classifier input "
+                        "— D detects mode collapse directly and G gets "
+                        "gradient pressure toward diversity (off = "
+                        "reference parity)")
     p.add_argument("--lr-decay-rate", type=float, default=1.0,
                    help="staircase exponential lr decay factor for both "
                         "optimizers (1.0 = constant, reference behavior)")
@@ -236,6 +242,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         d_input_noise_steps=getattr(args, "d_input_noise_steps", 0),
         pac=getattr(args, "pac", 1),
         spectral_norm=getattr(args, "spectral_norm", False),
+        mb_std=getattr(args, "mb_std", False),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

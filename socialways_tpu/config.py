@@ -138,6 +138,17 @@ class TrainConfig:
     # Requires batch rows divisible by pac (padded batches are).  1 = off
     # (reference parity).
     pac: int = 1
+    # Minibatch stddev (ProGAN, Karras et al. 2018 §3): one scalar — the
+    # feature-mean std of the fake (resp. real) block's flattened futures,
+    # masked, DP-global — appended to the classifier input so D can see
+    # "this generator's batch has collapsed" directly; the G phase
+    # differentiates through the fake block's statistic, giving G explicit
+    # diversity pressure.  The Q-head never sees it.  Under --grad-accum
+    # the statistic is per micro-chunk (like any batch statistic), so the
+    # accumulation equals a full batch whose statistic is chunk-local —
+    # documented deviation from the exact-accumulation claim.  False = off
+    # (reference parity).
+    mb_std: bool = False
     use_social: bool = False     # reference default (train.py:83) — paper's
                                  # attention is OFF by default; expose both.
 

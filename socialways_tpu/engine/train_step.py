@@ -231,17 +231,36 @@ def gan_step(
         def draw_noise(key):
             return sample_noise(key, n, cfg, obsv.dtype)
 
+    # cfg.mb_std couples shards through the psum'd batch statistic: the
+    # backward of that psum mixes every shard's cotangent into every
+    # shard's gradient, so weighting GRADIENTS by valid-count share (below)
+    # would double-weight the coupled term.  Weighting each shard's LOSS by
+    # the same share instead (then plain pmean) is algebraically identical
+    # for uncoupled losses and exactly right for coupled ones — and makes
+    # the pmean'd loss metric the true global masked mean.
+    if axis_name is not None and cfg.mb_std:
+        _cnt = jnp.sum(valid).astype(obsv.dtype)
+        _w_shard = (_cnt * jax.lax.psum(jnp.ones((), obsv.dtype), axis_name)
+                    / jnp.maximum(jax.lax.psum(_cnt, axis_name), 1.0))
+    else:
+        _w_shard = None
+
+    def _shard_weight(loss):
+        return loss if _w_shard is None else loss * _w_shard
+
     def _sync_grads(grads):
         """pmean with per-shard valid-count weighting: exactly equals the
         single-device masked-mean gradient over the global batch, even when
-        shards carry different amounts of padding."""
+        shards carry different amounts of padding.  (With cfg.mb_std the
+        weight was already applied to the loss — see _shard_weight.)"""
         if axis_name is None:
             return grads
-        local = jnp.sum(valid).astype(obsv.dtype)
-        n_dev = jax.lax.psum(jnp.ones((), obsv.dtype), axis_name)
-        glob = jax.lax.psum(local, axis_name)
-        w = local * n_dev / jnp.maximum(glob, 1.0)
-        grads = jax.tree_util.tree_map(lambda g: g * w, grads)
+        if _w_shard is None:
+            local = jnp.sum(valid).astype(obsv.dtype)
+            n_dev = jax.lax.psum(jnp.ones((), obsv.dtype), axis_name)
+            glob = jax.lax.psum(local, axis_name)
+            w = local * n_dev / jnp.maximum(glob, 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g * w, grads)
         return jax.lax.pmean(grads, axis_name)
     # uniform [0,1) noise (with the latent code embedded in the first dims
     # when categorical), shared by all D unroll steps and the G step
@@ -389,19 +408,36 @@ def gan_step(
     # and run both futures through the heads as one [2N] batch
     from socialways_tpu.models.discriminator import (discriminator_heads,
                                                      encode_obsv,
+                                                     mb_std_feature,
                                                      spectral_normalize_d)
 
     _sn = (spectral_normalize_d if cfg.spectral_norm
            else (lambda p: p))    # SN-GAN: normalize at every D evaluation
+
+    def _mb_feat(pred_block, valid_):
+        """Per-block minibatch-stddev scalar (None when the flag is off).
+        Computed on the tensors D actually sees (instance noise included),
+        masked, psum-global under the mesh axis."""
+        if not cfg.mb_std:
+            return None
+        return mb_std_feature(pred_block, valid_, axis_name)
 
     def _d_loss_parts(d_params, obsv_4d_, pred_hat_, pred_4d_, noise_,
                       valid_, zeros_, ones_, w_label=1.0, w_rest=1.0):
         nn = obsv_4d_.shape[0]
         dp = cast(_sn(d_params))
         obsv_code = encode_obsv(dp, cast(obsv_4d_), cfg.remat_steps)
+        extra = None
+        if cfg.mb_std:
+            # one statistic per provenance block — fake and real separately
+            # (a shared statistic would be identical across the halves and
+            # carry no real/fake signal)
+            extra = jnp.concatenate([_mb_feat(pred_hat_, valid_),
+                                     _mb_feat(pred_4d_, valid_)], axis=0)
         labels, codes = discriminator_heads(
             dp, obsv_code,
-            cast(jnp.concatenate([pred_hat_, pred_4d_], axis=0)), cfg.pac)
+            cast(jnp.concatenate([pred_hat_, pred_4d_], axis=0)), cfg.pac,
+            extra)
         labels, codes = labels.astype(dtype), codes.astype(dtype)
         # pac > 1: one label per pack — the fake block is the first
         # nn/pac labels (nn % pac == 0, so no pack straddles the boundary)
@@ -419,14 +455,14 @@ def gan_step(
             # flow through this when the loss is differentiated)
             def real_label_sum(p4):
                 lbl, _ = discriminator_heads(dp, obsv_code, cast(p4),
-                                             cfg.pac)
+                                             cfg.pac, _mb_feat(p4, valid_))
                 return jnp.sum(lbl.astype(dtype) * gv[:, None])
             g_real = jax.grad(real_label_sum)(pred_4d_)
             per = jnp.sum(g_real.reshape(nn, -1) ** 2, axis=-1)
             r1 = jnp.sum(jnp.where(valid_, per, 0.0)) / jnp.maximum(
                 jnp.sum(valid_), 1)
             loss = loss + w_rest * 0.5 * cfg.r1_gamma * r1
-        return loss
+        return _shard_weight(loss)
 
     def d_loss_fn(d_params):
         return _d_loss_parts(d_params, obsv_4d, pred_hat_4d_d, pred_4d_d,
@@ -508,7 +544,8 @@ def gan_step(
         gen_label, gen_code = discriminator_apply(cast(d_params_g),
                                                   cast(obsv_4d),
                                                   cast(ph_in),
-                                                  cfg.remat_steps, cfg.pac)
+                                                  cfg.remat_steps, cfg.pac,
+                                                  _mb_feat(ph_in, valid))
         gen_label = gen_label.astype(dtype)
         gen_code = gen_code.astype(dtype)
         loss = lsgan_g_loss(gen_label, gen_code, noise, valid, ones_t,
@@ -524,7 +561,7 @@ def gan_step(
                 g_params, draw_noise(kk)))(ks)
             loss = loss + cfg.loss_l2_w * variety_loss(
                 pred_k[..., :2], pred, valid)
-        return loss
+        return _shard_weight(loss)
 
     if accum:
         def _g_chunk_loss(g_params, cb, ws, wp):
@@ -533,7 +570,7 @@ def gan_step(
             ph_in = ph if eps_g is None else ph + sigma * cb["eps_g"]
             gen_label, gen_code = discriminator_apply(
                 cast(d_params_g), cast(cb["obsv_4d"]), cast(ph_in),
-                cfg.remat_steps, cfg.pac)
+                cfg.remat_steps, cfg.pac, _mb_feat(ph_in, cb["valid"]))
             loss = lsgan_g_loss(gen_label.astype(dtype),
                                 gen_code.astype(dtype), cb["noise"],
                                 cb["valid"], cb["ones"], cfg.use_info_loss,
@@ -544,7 +581,7 @@ def gan_step(
             if cfg.use_l2_loss:
                 loss = loss + ws * cfg.loss_l2_w * l2_traj_loss(
                     ph[..., :2], cb["pred"], cb["valid"])
-            return loss
+            return _shard_weight(loss)
 
         g_loss, g_grads = _accum_value_and_grad(_g_chunk_loss,
                                                 state.g_params)

@@ -979,3 +979,46 @@ def test_ensemble_mesh_rejects_indivisible_members(toy_ds):
     ens = EnsembleTrainer(Trainer(cfg, toy_ds), mesh=make_mesh(8))
     with pytest.raises(ValueError, match="not divisible"):
         ens.init_states([0, 1, 2])
+
+
+# ------------------------------------------------------- minibatch stddev
+def test_mb_std_feature_masked_and_detects_collapse():
+    from socialways_tpu.models.discriminator import mb_std_feature
+
+    rng = np.random.RandomState(0)
+    diverse = jnp.asarray(rng.randn(16, 4, 4).astype(np.float32))
+    collapsed = jnp.broadcast_to(diverse[:1], diverse.shape)
+    v = jnp.ones(16, bool)
+    f_div = float(mb_std_feature(diverse, v)[0, 0])
+    f_col = float(mb_std_feature(collapsed, v)[0, 0])
+    assert f_col < 1e-3 < f_div
+
+    # padding rows excluded: huge outliers on invalid rows change nothing
+    poisoned = np.asarray(diverse).copy()
+    poisoned[10:] = 1e6
+    v2 = jnp.asarray(np.arange(16) < 10)
+    f_masked = float(mb_std_feature(jnp.asarray(poisoned), v2)[0, 0])
+    f_clean = float(mb_std_feature(diverse[:10], jnp.ones(10, bool))[0, 0])
+    np.testing.assert_allclose(f_masked, f_clean, rtol=1e-5)
+    # broadcast shape
+    assert mb_std_feature(diverse, v).shape == (16, 1)
+
+
+def test_gan_step_mb_std_trains_and_shapes():
+    """--mb-std: classifier input grows by 1 scalar per packed sample; the
+    step runs with finite losses and moves both players (incl. composed
+    with pac=2 and unrolling)."""
+    for pac in (1, 2):
+        cfg = CFG.replace(mb_std=True, pac=pac, n_unrolling_steps=1)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        w0 = state.d_params["classifier"][0]["w"]
+        assert w0.shape[0] == (cfg.hidden_size + 1) * pac
+        batch = _batch()
+        new_state, m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+            state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+        d_delta = jax.tree_util.tree_reduce(
+            lambda acc, x: acc + float(jnp.abs(x).sum()),
+            jax.tree_util.tree_map(lambda a, b: a - b, new_state.d_params,
+                                   state.d_params), 0.0)
+        assert d_delta > 0
