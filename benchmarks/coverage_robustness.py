@@ -144,6 +144,12 @@ RECIPES = {
     # round-3: ProGAN minibatch stddev — D sees the fake/real block's
     # diversity scalar; the one canonical anti-collapse lever untried,
     # alone and composed with the documented big-toy winner
+    "robust1+inoise2+mbstd": ["--d-lr-decay-rate", "0.7",
+                              "--d-lr-decay-steps", "10000",
+                              "--auto-recover", "--block-size", "1000",
+                              "--info-weight", "1.0", "--d-input-noise",
+                              "0.05", "--d-input-noise-steps", "40000",
+                              "--mb-std"],
     "robust1+info2+mbstd": ["--d-lr-decay-rate", "0.7",
                             "--d-lr-decay-steps", "10000",
                             "--auto-recover", "--block-size", "1000",
