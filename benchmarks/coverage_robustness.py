@@ -161,6 +161,26 @@ RECIPES = {
                                     "--d-input-noise", "0.05",
                                     "--d-input-noise-steps", "40000",
                                     "--mb-std"],
+    # round-3: MSGAN mode-seeking regularizer — direct pairwise-diversity
+    # pressure on G (no ground truth involved, unlike the measured-negative
+    # variety loss), alone and composed with the documented big-toy winner
+    "robust1+info2+ms": ["--d-lr-decay-rate", "0.7",
+                         "--d-lr-decay-steps", "10000",
+                         "--auto-recover", "--block-size", "1000",
+                         "--info-weight", "2.0", "--ms-weight", "0.1"],
+    "robust1+info2+inoise2+ms": ["--d-lr-decay-rate", "0.7",
+                                 "--d-lr-decay-steps", "10000",
+                                 "--auto-recover", "--block-size", "1000",
+                                 "--info-weight", "2.0", "--d-input-noise",
+                                 "0.05", "--d-input-noise-steps", "40000",
+                                 "--ms-weight", "0.1"],
+    "robust1+info2+inoise2+ms05": ["--d-lr-decay-rate", "0.7",
+                                   "--d-lr-decay-steps", "10000",
+                                   "--auto-recover", "--block-size", "1000",
+                                   "--info-weight", "2.0",
+                                   "--d-input-noise", "0.05",
+                                   "--d-input-noise-steps", "40000",
+                                   "--ms-weight", "0.5"],
     # SN-GAN spectral normalization: the Lipschitz-bound alternative to
     # instance noise, alone and composed with the inoise winner
     "robust1+sn": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",

@@ -127,6 +127,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "— D detects mode collapse directly and G gets "
                         "gradient pressure toward diversity (off = "
                         "reference parity)")
+    p.add_argument("--ms-weight", type=float, default=0.0,
+                   help="MSGAN mode-seeking regularizer weight: the G "
+                        "loss adds w/(r+1e-5) with r = output-diversity / "
+                        "latent-distance between two noise draws — direct "
+                        "anti-collapse pressure on G; costs one extra "
+                        "rollout per step (0 = off, reference parity)")
     p.add_argument("--lr-decay-rate", type=float, default=1.0,
                    help="staircase exponential lr decay factor for both "
                         "optimizers (1.0 = constant, reference behavior)")
@@ -243,6 +249,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         pac=getattr(args, "pac", 1),
         spectral_norm=getattr(args, "spectral_norm", False),
         mb_std=getattr(args, "mb_std", False),
+        ms_weight=getattr(args, "ms_weight", 0.0),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

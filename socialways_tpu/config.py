@@ -149,6 +149,17 @@ class TrainConfig:
     # documented deviation from the exact-accumulation claim.  False = off
     # (reference parity).
     mb_std: bool = False
+    # Mode-seeking regularizer (MSGAN, Mao et al. CVPR 2019): the G loss
+    # adds  ms_weight / (r + 1e-5)  with  r = E|G(z1)−G(z2)| / E|z1−z2|
+    # (masked row means; positions only; z2 a fresh draw from the same
+    # noise distribution).  Collapsed generators map distant z to nearby
+    # trajectories → small r → large penalty, so G gets direct pressure to
+    # keep distinct latents on distinct modes.  Differs from the
+    # reference's variety loss (min-of-K L2 to ground truth, measured
+    # negative here): mode seeking needs no ground-truth future and pushes
+    # pairwise output diversity instead of best-sample accuracy.  Costs
+    # one extra rollout per G step.  0.0 = off (reference parity).
+    ms_weight: float = 0.0
     use_social: bool = False     # reference default (train.py:83) — paper's
                                  # attention is OFF by default; expose both.
 

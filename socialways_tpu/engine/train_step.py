@@ -231,14 +231,15 @@ def gan_step(
         def draw_noise(key):
             return sample_noise(key, n, cfg, obsv.dtype)
 
-    # cfg.mb_std couples shards through the psum'd batch statistic: the
-    # backward of that psum mixes every shard's cotangent into every
-    # shard's gradient, so weighting GRADIENTS by valid-count share (below)
-    # would double-weight the coupled term.  Weighting each shard's LOSS by
-    # the same share instead (then plain pmean) is algebraically identical
-    # for uncoupled losses and exactly right for coupled ones — and makes
-    # the pmean'd loss metric the true global masked mean.
-    if axis_name is not None and cfg.mb_std:
+    # cfg.mb_std / cfg.ms_weight couple shards through psum'd batch
+    # statistics: the backward of that psum mixes every shard's cotangent
+    # into every shard's gradient, so weighting GRADIENTS by valid-count
+    # share (below) would double-weight the coupled term.  Weighting each
+    # shard's LOSS by the same share instead (then plain pmean) is
+    # algebraically identical for uncoupled losses and exactly right for
+    # coupled ones — and makes the pmean'd loss metric the true global
+    # masked mean.
+    if axis_name is not None and (cfg.mb_std or cfg.ms_weight > 0):
         _cnt = jnp.sum(valid).astype(obsv.dtype)
         _w_shard = (_cnt * jax.lax.psum(jnp.ones((), obsv.dtype), axis_name)
                     / jnp.maximum(jax.lax.psum(_cnt, axis_name), 1.0))
@@ -295,6 +296,10 @@ def gan_step(
         if cfg.use_variety_loss:
             raise ValueError("grad_accum>1 does not support the variety "
                              "loss (each chunk would re-draw K rollouts)")
+        if cfg.ms_weight > 0:
+            raise ValueError("grad_accum>1 does not support the "
+                             "mode-seeking loss (its diversity ratio is a "
+                             "full-batch statistic over a second rollout)")
         if n % cfg.grad_accum:
             raise ValueError(f"batch rows {n} not divisible by "
                              f"grad_accum {cfg.grad_accum}")
@@ -359,7 +364,9 @@ def gan_step(
         mb["pred_hat"] = jax.lax.stop_gradient(pred_hat_c)
         pred_hat_fwd = pred_hat_c.reshape((n,) + pred_hat_c.shape[2:])
         rollout_vjp = None
-    elif cfg.use_variety_loss or cfg.serial_rollout:
+    elif cfg.use_variety_loss or cfg.serial_rollout or cfg.ms_weight > 0:
+        # variety/mode-seeking need grads of g_params through EXTRA
+        # rollouts, so the single shared vjp cannot carry the G gradient
         pred_hat_fwd, rollout_vjp = rollout(state.g_params, noise), None
     else:
         pred_hat_fwd, rollout_vjp = jax.vjp(
@@ -561,6 +568,30 @@ def gan_step(
                 g_params, draw_noise(kk)))(ks)
             loss = loss + cfg.loss_l2_w * variety_loss(
                 pred_k[..., :2], pred, valid)
+        if cfg.ms_weight > 0:
+            # MSGAN mode-seeking term (see config.ms_weight): a second
+            # rollout from an independent noise draw; penalize a small
+            # output-diversity / latent-distance ratio.  Masked means are
+            # psum-global under DP (with the matching _shard_weight form),
+            # so the sharded step equals the single-device one; the fresh
+            # key derives via fold_in(rng, 17) so existing noise streams
+            # are untouched, and the draw itself goes through draw_noise's
+            # global-draw-and-slice for exact stream parity.
+            def _row_mean_abs(a, b):
+                per = jnp.mean(jnp.abs(a - b).reshape(a.shape[0], -1),
+                               axis=-1)
+                s = jnp.sum(jnp.where(valid, per, 0.0))
+                c = jnp.sum(valid).astype(dtype)
+                if axis_name is not None:
+                    s = jax.lax.psum(s, axis_name)
+                    c = jax.lax.psum(c, axis_name)
+                return s / jnp.maximum(c, 1.0)
+
+            z2 = draw_noise(jax.random.fold_in(rng, 17))
+            pred2 = rollout(g_params, z2)
+            ratio = (_row_mean_abs(pred_hat_4d[..., :2], pred2[..., :2])
+                     / (_row_mean_abs(noise, z2) + 1e-8))
+            loss = loss + cfg.ms_weight / (ratio + 1e-5)
         return _shard_weight(loss)
 
     if accum:

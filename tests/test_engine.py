@@ -1022,3 +1022,35 @@ def test_gan_step_mb_std_trains_and_shapes():
             jax.tree_util.tree_map(lambda a, b: a - b, new_state.d_params,
                                    state.d_params), 0.0)
         assert d_delta > 0
+
+
+def test_gan_step_mode_seeking_trains_and_pressures_diversity():
+    """--ms-weight: the G loss gains the strictly positive w/(r+eps) term
+    (same rng stream — the fresh draw derives via fold_in so the base
+    losses are untouched), the D phase is unaffected by a G-only
+    regularizer, and the G update actually changes."""
+    cfg0 = CFG.replace(n_unrolling_steps=1)
+    cfg1 = cfg0.replace(ms_weight=0.1)
+    state = init_train_state(jax.random.PRNGKey(0), cfg0)
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+    s0, m0 = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg0))(
+        state, batch, rng)
+    s1, m1 = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg1))(
+        state, batch, rng)
+    assert np.isfinite(float(m1.g_loss)) and np.isfinite(float(m1.d_loss))
+    assert float(m1.g_loss) > float(m0.g_loss)
+    np.testing.assert_allclose(float(m1.d_loss), float(m0.d_loss),
+                               rtol=1e-5)
+    g_diff = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, s1.g_params,
+                               s0.g_params), 0.0)
+    assert g_diff > 0
+
+
+def test_mode_seeking_rejects_grad_accum():
+    cfg = CFG.replace(ms_weight=0.1, grad_accum=2)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="mode-seeking"):
+        gan_step(state, _batch(), jax.random.PRNGKey(1), cfg)

@@ -603,3 +603,39 @@ def test_dp_step_mb_std_matches_single_device(mesh):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         dp_state.g_params, sd_state.g_params)
+
+
+def test_dp_step_mode_seeking_matches_single_device(mesh):
+    """--ms-weight under DP: the diversity ratio's masked means are psum'd
+    over the mesh axis (and the second noise draw goes through the same
+    global-draw-and-slice as the first), so every shard sees the GLOBAL
+    ratio and the DP step reproduces the single-device big-batch step —
+    including with padding (masked means)."""
+    cfg = CFG.replace(n_unrolling_steps=1, ms_weight=0.1)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _global_batch(8, key=17)
+    valid = np.asarray(batch["valid"]).copy()
+    valid[2 * 8 + 6: 2 * 8 + 8] = False
+    ids = np.asarray(batch["scene_ids"]).copy()
+    ids[2 * 8 + 6: 2 * 8 + 8] = -1
+    batch["valid"] = jnp.asarray(valid)
+    batch["scene_ids"] = jnp.asarray(ids)
+    rng = jax.random.PRNGKey(23)
+
+    step = make_dp_train_step(cfg, mesh)
+    dp_state, dp_m = step(state, batch, rng)
+    sd_state, sd_m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+
+    np.testing.assert_allclose(float(dp_m.g_loss), float(sd_m.g_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(dp_m.d_loss), float(sd_m.d_loss),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        dp_state.d_params, sd_state.d_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        dp_state.g_params, sd_state.g_params)
