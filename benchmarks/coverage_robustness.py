@@ -181,6 +181,26 @@ RECIPES = {
                                    "--d-input-noise", "0.05",
                                    "--d-input-noise-steps", "40000",
                                    "--ms-weight", "0.5"],
+    # round-3: full-batch steps — batch 768 puts every condition (and all
+    # train scene batches) in EVERY update, removing chunk-sampling
+    # variance in what D sees (chunks_per_epoch() keeps the arm
+    # iteration-matched: 1 chunk/epoch instead of 3)
+    "robust1+info2+inoise2+bs768": ["--d-lr-decay-rate", "0.7",
+                                    "--d-lr-decay-steps", "10000",
+                                    "--auto-recover", "--block-size",
+                                    "1000", "--info-weight", "2.0",
+                                    "--d-input-noise", "0.05",
+                                    "--d-input-noise-steps", "40000",
+                                    "--batch-size", "768"],
+    # round-3: deeper unrolled-GAN lookahead — THE paper lever for mode
+    # collapse (Metz et al.; the reference defaults to 1)
+    "robust1+info2+inoise2+unroll2": ["--d-lr-decay-rate", "0.7",
+                                      "--d-lr-decay-steps", "10000",
+                                      "--auto-recover", "--block-size",
+                                      "1000", "--info-weight", "2.0",
+                                      "--d-input-noise", "0.05",
+                                      "--d-input-noise-steps", "40000",
+                                      "--unroll", "2"],
     # SN-GAN spectral normalization: the Lipschitz-bound alternative to
     # instance noise, alone and composed with the inoise winner
     "robust1+sn": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
@@ -205,6 +225,17 @@ TOYS = {
 # TARGET GAN STEPS and divided by the chunk count so the arms are
 # iteration-matched across toys (round-1 sweeps counted iterations)
 CHUNKS_PER_EPOCH = {"small": 1, "big": 3}
+# train-split samples per toy (4/5 of the scene batches): used to recompute
+# the chunk count when a recipe overrides --batch-size (e.g. bs768)
+TRAIN_SAMPLES = {"small": 174, "big": 616}
+
+
+def chunks_per_epoch(toy: str, recipe: str) -> int:
+    args = RECIPES[recipe]
+    if "--batch-size" in args:
+        bs = int(args[args.index("--batch-size") + 1])
+        return max(1, -(-TRAIN_SAMPLES[toy] // bs))
+    return CHUNKS_PER_EPOCH[toy]
 
 _COV_RE = re.compile(r"mode coverage = ([\d.]+)")
 _ADE_RE = re.compile(r"Min\(20\) ADE,FDE \(\d+\)= \(([\d.]+), ([\d.]+)\)")
@@ -285,8 +316,8 @@ def main():
     results = {"epochs": args.epochs}
     for toy in args.toys.split(","):
         npz = ensure_toy(toy, workdir)
-        epochs = args.epochs // CHUNKS_PER_EPOCH[toy]
         for recipe in args.recipes.split(","):
+            epochs = args.epochs // chunks_per_epoch(toy, recipe)
             for seed in [int(s) for s in args.seeds.split(",")]:
                 key = f"{toy}/{recipe}/seed{seed}"
                 results[key] = run_one(npz, recipe, seed, epochs,
