@@ -181,6 +181,26 @@ RECIPES = {
                                    "--d-input-noise", "0.05",
                                    "--d-input-noise-steps", "40000",
                                    "--ms-weight", "0.5"],
+    # round-3: DSGAN per-sample diversity hinge (tau calibrated from the
+    # measured per-row d/dz distribution on trained bestcov checkpoints:
+    # healthy median ~0.10-0.13, legitimate same-mode tail ~0.01-0.02 —
+    # tau 0.05 binds only the tail, tau 0.1 binds up to the median)
+    "robust1+info2+inoise2+ds05": ["--d-lr-decay-rate", "0.7",
+                                   "--d-lr-decay-steps", "10000",
+                                   "--auto-recover", "--block-size", "1000",
+                                   "--info-weight", "2.0",
+                                   "--d-input-noise", "0.05",
+                                   "--d-input-noise-steps", "40000",
+                                   "--ds-weight", "5.0",
+                                   "--ds-tau", "0.05"],
+    "robust1+info2+inoise2+ds10": ["--d-lr-decay-rate", "0.7",
+                                   "--d-lr-decay-steps", "10000",
+                                   "--auto-recover", "--block-size", "1000",
+                                   "--info-weight", "2.0",
+                                   "--d-input-noise", "0.05",
+                                   "--d-input-noise-steps", "40000",
+                                   "--ds-weight", "2.0",
+                                   "--ds-tau", "0.1"],
     # round-3: full-batch steps — batch 768 puts every condition (and all
     # train scene batches) in EVERY update, removing chunk-sampling
     # variance in what D sees (chunks_per_epoch() keeps the arm

@@ -133,6 +133,15 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "latent-distance between two noise draws — direct "
                         "anti-collapse pressure on G; costs one extra "
                         "rollout per step (0 = off, reference parity)")
+    p.add_argument("--ds-weight", type=float, default=0.0,
+                   help="DSGAN diversity hinge weight: per-sample "
+                        "max(0, tau - d_i/dz_i) over a second rollout — "
+                        "each collapsed condition-mode pays the full "
+                        "hinge (sharper than the global --ms-weight "
+                        "ratio); bounded, goes silent above --ds-tau "
+                        "(0 = off, reference parity)")
+    p.add_argument("--ds-tau", type=float, default=1.0,
+                   help="diversity-ratio target for --ds-weight")
     p.add_argument("--lr-decay-rate", type=float, default=1.0,
                    help="staircase exponential lr decay factor for both "
                         "optimizers (1.0 = constant, reference behavior)")
@@ -250,6 +259,8 @@ def _cfg_from_args(args) -> "TrainConfig":
         spectral_norm=getattr(args, "spectral_norm", False),
         mb_std=getattr(args, "mb_std", False),
         ms_weight=getattr(args, "ms_weight", 0.0),
+        ds_weight=getattr(args, "ds_weight", 0.0),
+        ds_tau=getattr(args, "ds_tau", 1.0),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

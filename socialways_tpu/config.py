@@ -160,6 +160,18 @@ class TrainConfig:
     # pairwise output diversity instead of best-sample accuracy.  Costs
     # one extra rollout per G step.  0.0 = off (reference parity).
     ms_weight: float = 0.0
+    # Diversity-sensitive hinge (DSGAN, Yang et al. ICLR 2019): the G loss
+    # adds  ds_weight · E_i max(0, ds_tau − d_i/dz_i)  with
+    # d_i = mean|G_i(z1)−G_i(z2)| per SAMPLE (same observation, two noise
+    # draws) and dz_i = mean|z1_i−z2_i|.  The per-sample form is the
+    # sharp version of mode seeking: a few collapsed condition-modes are
+    # diluted to invisibility in ms_weight's GLOBAL ratio, but each
+    # collapsed row pays the full hinge here — and the hinge bounds the
+    # term (no 1/r blow-up), going silent once per-condition diversity
+    # clears ds_tau.  Shares the second rollout with ms_weight when both
+    # are on.  0.0 = off (reference parity).
+    ds_weight: float = 0.0
+    ds_tau: float = 1.0
     use_social: bool = False     # reference default (train.py:83) — paper's
                                  # attention is OFF by default; expose both.
 

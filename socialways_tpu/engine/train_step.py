@@ -239,7 +239,8 @@ def gan_step(
     # algebraically identical for uncoupled losses and exactly right for
     # coupled ones — and makes the pmean'd loss metric the true global
     # masked mean.
-    if axis_name is not None and (cfg.mb_std or cfg.ms_weight > 0):
+    if axis_name is not None and (cfg.mb_std or cfg.ms_weight > 0
+                                  or cfg.ds_weight > 0):
         _cnt = jnp.sum(valid).astype(obsv.dtype)
         _w_shard = (_cnt * jax.lax.psum(jnp.ones((), obsv.dtype), axis_name)
                     / jnp.maximum(jax.lax.psum(_cnt, axis_name), 1.0))
@@ -296,10 +297,10 @@ def gan_step(
         if cfg.use_variety_loss:
             raise ValueError("grad_accum>1 does not support the variety "
                              "loss (each chunk would re-draw K rollouts)")
-        if cfg.ms_weight > 0:
+        if cfg.ms_weight > 0 or cfg.ds_weight > 0:
             raise ValueError("grad_accum>1 does not support the "
-                             "mode-seeking loss (its diversity ratio is a "
-                             "full-batch statistic over a second rollout)")
+                             "mode-seeking/diversity-hinge losses (they "
+                             "need a second rollout under grad)")
         if n % cfg.grad_accum:
             raise ValueError(f"batch rows {n} not divisible by "
                              f"grad_accum {cfg.grad_accum}")
@@ -364,9 +365,11 @@ def gan_step(
         mb["pred_hat"] = jax.lax.stop_gradient(pred_hat_c)
         pred_hat_fwd = pred_hat_c.reshape((n,) + pred_hat_c.shape[2:])
         rollout_vjp = None
-    elif cfg.use_variety_loss or cfg.serial_rollout or cfg.ms_weight > 0:
-        # variety/mode-seeking need grads of g_params through EXTRA
-        # rollouts, so the single shared vjp cannot carry the G gradient
+    elif (cfg.use_variety_loss or cfg.serial_rollout
+          or cfg.ms_weight > 0 or cfg.ds_weight > 0):
+        # variety/mode-seeking/diversity-hinge need grads of g_params
+        # through EXTRA rollouts, so the single shared vjp cannot carry
+        # the G gradient
         pred_hat_fwd, rollout_vjp = rollout(state.g_params, noise), None
     else:
         pred_hat_fwd, rollout_vjp = jax.vjp(
@@ -568,30 +571,45 @@ def gan_step(
                 g_params, draw_noise(kk)))(ks)
             loss = loss + cfg.loss_l2_w * variety_loss(
                 pred_k[..., :2], pred, valid)
-        if cfg.ms_weight > 0:
-            # MSGAN mode-seeking term (see config.ms_weight): a second
-            # rollout from an independent noise draw; penalize a small
-            # output-diversity / latent-distance ratio.  Masked means are
-            # psum-global under DP (with the matching _shard_weight form),
-            # so the sharded step equals the single-device one; the fresh
+        if cfg.ms_weight > 0 or cfg.ds_weight > 0:
+            # Diversity regularizers over a SECOND rollout from an
+            # independent noise draw (shared between both forms): the
+            # global-ratio mode-seeking term (config.ms_weight) and the
+            # per-sample diversity hinge (config.ds_weight).  The fresh
             # key derives via fold_in(rng, 17) so existing noise streams
-            # are untouched, and the draw itself goes through draw_noise's
-            # global-draw-and-slice for exact stream parity.
-            def _row_mean_abs(a, b):
-                per = jnp.mean(jnp.abs(a - b).reshape(a.shape[0], -1),
-                               axis=-1)
+            # are untouched, and the draw goes through draw_noise's
+            # global-draw-and-slice for exact DP stream parity.
+            z2 = draw_noise(jax.random.fold_in(rng, 17))
+            pred2 = rollout(g_params, z2)
+            # per-row mean |·| over trailing dims
+            d_row = jnp.mean(jnp.abs(pred_hat_4d[..., :2] - pred2[..., :2])
+                             .reshape(n, -1), axis=-1)
+            dz_row = jnp.mean(jnp.abs(noise - z2), axis=-1)
+
+            def _masked_mean(per, psum):
                 s = jnp.sum(jnp.where(valid, per, 0.0))
                 c = jnp.sum(valid).astype(dtype)
-                if axis_name is not None:
+                if psum and axis_name is not None:
                     s = jax.lax.psum(s, axis_name)
                     c = jax.lax.psum(c, axis_name)
                 return s / jnp.maximum(c, 1.0)
 
-            z2 = draw_noise(jax.random.fold_in(rng, 17))
-            pred2 = rollout(g_params, z2)
-            ratio = (_row_mean_abs(pred_hat_4d[..., :2], pred2[..., :2])
-                     / (_row_mean_abs(noise, z2) + 1e-8))
-            loss = loss + cfg.ms_weight / (ratio + 1e-5)
+            if cfg.ms_weight > 0:
+                # global ratio: masked means are psum-global under DP
+                # (with the matching _shard_weight form), so the sharded
+                # step equals the single-device one
+                ratio = (_masked_mean(d_row, psum=True)
+                         / (_masked_mean(dz_row, psum=True) + 1e-8))
+                loss = loss + cfg.ms_weight / (ratio + 1e-5)
+            if cfg.ds_weight > 0:
+                # per-sample hinge: psum-global masked mean (with the
+                # matching _shard_weight form) so both the loss metric and
+                # the gradient equal the single-device big-batch step
+                # exactly, whatever the per-shard padding
+                hinge = jnp.maximum(
+                    0.0, cfg.ds_tau - d_row / (dz_row + 1e-8))
+                loss = loss + cfg.ds_weight * _masked_mean(hinge,
+                                                           psum=True)
         return _shard_weight(loss)
 
     if accum:

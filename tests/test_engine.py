@@ -1050,7 +1050,41 @@ def test_gan_step_mode_seeking_trains_and_pressures_diversity():
 
 
 def test_mode_seeking_rejects_grad_accum():
-    cfg = CFG.replace(ms_weight=0.1, grad_accum=2)
-    state = init_train_state(jax.random.PRNGKey(0), cfg)
-    with pytest.raises(ValueError, match="mode-seeking"):
-        gan_step(state, _batch(), jax.random.PRNGKey(1), cfg)
+    for kw in ({"ms_weight": 0.1}, {"ds_weight": 0.1}):
+        cfg = CFG.replace(grad_accum=2, **kw)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="mode-seeking"):
+            gan_step(state, _batch(), jax.random.PRNGKey(1), cfg)
+
+
+def test_diversity_hinge_tau_gates_the_term():
+    """--ds-weight: with tau=0 the hinge max(0, -d/dz) is identically zero,
+    so the step reproduces the baseline g_loss (up to the reassociation of
+    the changed autodiff path); with a tau above any achievable diversity
+    ratio the term is active — g_loss grows, G moves differently, and the
+    D phase (a G-only regularizer) is untouched."""
+    cfg0 = CFG.replace(n_unrolling_steps=1)
+    state = init_train_state(jax.random.PRNGKey(0), cfg0)
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+    s0, m0 = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg0))(
+        state, batch, rng)
+
+    cfg_silent = cfg0.replace(ds_weight=0.5, ds_tau=0.0)
+    _, m_silent = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_silent))(
+        state, batch, rng)
+    np.testing.assert_allclose(float(m_silent.g_loss), float(m0.g_loss),
+                               rtol=1e-5)
+
+    cfg_hot = cfg0.replace(ds_weight=0.5, ds_tau=100.0)
+    s_hot, m_hot = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_hot))(
+        state, batch, rng)
+    assert np.isfinite(float(m_hot.g_loss))
+    assert float(m_hot.g_loss) > float(m0.g_loss)
+    np.testing.assert_allclose(float(m_hot.d_loss), float(m0.d_loss),
+                               rtol=1e-5)
+    g_diff = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, s_hot.g_params,
+                               s0.g_params), 0.0)
+    assert g_diff > 0

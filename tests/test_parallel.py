@@ -605,13 +605,16 @@ def test_dp_step_mb_std_matches_single_device(mesh):
         dp_state.g_params, sd_state.g_params)
 
 
-def test_dp_step_mode_seeking_matches_single_device(mesh):
-    """--ms-weight under DP: the diversity ratio's masked means are psum'd
-    over the mesh axis (and the second noise draw goes through the same
-    global-draw-and-slice as the first), so every shard sees the GLOBAL
-    ratio and the DP step reproduces the single-device big-batch step —
-    including with padding (masked means)."""
-    cfg = CFG.replace(n_unrolling_steps=1, ms_weight=0.1)
+@pytest.mark.parametrize("kw", [{"ms_weight": 0.1},
+                                {"ds_weight": 0.5, "ds_tau": 100.0}])
+def test_dp_step_mode_seeking_matches_single_device(mesh, kw):
+    """--ms-weight / --ds-weight under DP: the global ratio's masked means
+    are psum'd over the mesh axis (the per-sample hinge is row-local and
+    composes with the standard valid-share grad weighting), and the second
+    noise draw goes through the same global-draw-and-slice as the first —
+    so the DP step reproduces the single-device big-batch step, including
+    with padding (masked means)."""
+    cfg = CFG.replace(n_unrolling_steps=1, **kw)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
     batch = _global_batch(8, key=17)
     valid = np.asarray(batch["valid"]).copy()
