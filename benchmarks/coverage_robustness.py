@@ -193,6 +193,14 @@ RECIPES = {
                                    "--d-input-noise-steps", "40000",
                                    "--ds-weight", "5.0",
                                    "--ds-tau", "0.05"],
+    "robust1+info2+inoise2+ds05k4": ["--d-lr-decay-rate", "0.7",
+                                     "--d-lr-decay-steps", "10000",
+                                     "--auto-recover", "--block-size",
+                                     "1000", "--info-weight", "2.0",
+                                     "--d-input-noise", "0.05",
+                                     "--d-input-noise-steps", "40000",
+                                     "--ds-weight", "5.0",
+                                     "--ds-tau", "0.05", "--ds-k", "4"],
     "robust1+info2+inoise2+ds10": ["--d-lr-decay-rate", "0.7",
                                    "--d-lr-decay-steps", "10000",
                                    "--auto-recover", "--block-size", "1000",

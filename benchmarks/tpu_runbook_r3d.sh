@@ -38,9 +38,9 @@ run 3 14400 "big-toy 40k unroll2 x3 seeds" \
 
 # 4. DSGAN per-sample diversity hinge (tau calibrated from the measured
 #    per-row d/dz distribution; see coverage_robustness.py recipe notes)
-run 4 14400 "big-toy 40k ds hinge arms x3 seeds" \
+run 4 21600 "big-toy 40k ds hinge arms x3 seeds" \
     python benchmarks/coverage_robustness.py \
-    --recipes robust1+info2+inoise2+ds05,robust1+info2+inoise2+ds10 \
+    --recipes robust1+info2+inoise2+ds05,robust1+info2+inoise2+ds10,robust1+info2+inoise2+ds05k4 \
     --seeds 0,1,2 --toys big --epochs 40000 \
     --out benchmarks/coverage_robustness_r3_tpu_big40k_ds.json
 

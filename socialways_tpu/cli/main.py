@@ -142,6 +142,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "(0 = off, reference parity)")
     p.add_argument("--ds-tau", type=float, default=1.0,
                    help="diversity-ratio target for --ds-weight")
+    p.add_argument("--ds-k", type=int, default=2,
+                   help="rollouts pooled by the diversity regularizers "
+                        "(d_i/dz_i = mean over all K(K-1)/2 pairs; K-1 "
+                        "extra rollouts — K=4 separates per-condition "
+                        "collapse from legitimate same-mode pairs)")
     p.add_argument("--lr-decay-rate", type=float, default=1.0,
                    help="staircase exponential lr decay factor for both "
                         "optimizers (1.0 = constant, reference behavior)")
@@ -261,6 +266,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         ms_weight=getattr(args, "ms_weight", 0.0),
         ds_weight=getattr(args, "ds_weight", 0.0),
         ds_tau=getattr(args, "ds_tau", 1.0),
+        ds_k=getattr(args, "ds_k", 2),
         use_l2_loss=args.use_l2_loss,
         use_variety_loss=args.use_variety_loss,
         loss_l2_w=args.l2_weight,

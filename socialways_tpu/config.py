@@ -172,6 +172,13 @@ class TrainConfig:
     # are on.  0.0 = off (reference parity).
     ds_weight: float = 0.0
     ds_tau: float = 1.0
+    # number of rollouts pooled by the diversity regularizers: d_i/dz_i
+    # become the mean over all K(K−1)/2 pairs of K draws (K−1 extra
+    # rollouts).  At K=2 a healthy 3-mode generator still lands both
+    # draws on the SAME mode ~1/3 of the time (small d_i, hinge fires on
+    # legitimate rows); at K=4 the all-same-mode probability drops to
+    # ~4% and the per-row statistic separates collapse cleanly.
+    ds_k: int = 2
     use_social: bool = False     # reference default (train.py:83) — paper's
                                  # attention is OFF by default; expose both.
 

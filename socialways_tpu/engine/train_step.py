@@ -572,19 +572,34 @@ def gan_step(
             loss = loss + cfg.loss_l2_w * variety_loss(
                 pred_k[..., :2], pred, valid)
         if cfg.ms_weight > 0 or cfg.ds_weight > 0:
-            # Diversity regularizers over a SECOND rollout from an
-            # independent noise draw (shared between both forms): the
+            # Diversity regularizers over K−1 EXTRA rollouts from
+            # independent noise draws (shared between both forms): the
             # global-ratio mode-seeking term (config.ms_weight) and the
-            # per-sample diversity hinge (config.ds_weight).  The fresh
-            # key derives via fold_in(rng, 17) so existing noise streams
-            # are untouched, and the draw goes through draw_noise's
+            # per-sample diversity hinge (config.ds_weight); d_i/dz_i are
+            # means over all K(K−1)/2 pairs (config.ds_k).  Fresh keys
+            # derive via fold_in(rng, 17+j) so existing noise streams are
+            # untouched, and each draw goes through draw_noise's
             # global-draw-and-slice for exact DP stream parity.
-            z2 = draw_noise(jax.random.fold_in(rng, 17))
-            pred2 = rollout(g_params, z2)
-            # per-row mean |·| over trailing dims
-            d_row = jnp.mean(jnp.abs(pred_hat_4d[..., :2] - pred2[..., :2])
-                             .reshape(n, -1), axis=-1)
-            dz_row = jnp.mean(jnp.abs(noise - z2), axis=-1)
+            k_extra = max(1, cfg.ds_k - 1)
+            z_x = jnp.stack([draw_noise(jax.random.fold_in(rng, 17 + j))
+                             for j in range(k_extra)])
+            pred_x = jax.vmap(lambda z: rollout(g_params, z))(z_x)
+            z_all = jnp.concatenate([noise[None], z_x], axis=0)
+            p_all = jnp.concatenate([pred_hat_4d[None, ..., :2],
+                                     pred_x[..., :2]], axis=0)
+
+            def _pair_mean(t):
+                """[K, n, ...] → per-row mean |t_a − t_b| over all pairs."""
+                k = t.shape[0]
+                acc = 0.0
+                for a in range(k):
+                    for b in range(a + 1, k):
+                        acc = acc + jnp.mean(
+                            jnp.abs(t[a] - t[b]).reshape(n, -1), axis=-1)
+                return acc / (k * (k - 1) // 2)
+
+            d_row = _pair_mean(p_all)
+            dz_row = _pair_mean(z_all)
 
             def _masked_mean(per, psum):
                 s = jnp.sum(jnp.where(valid, per, 0.0))

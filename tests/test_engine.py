@@ -1088,3 +1088,17 @@ def test_diversity_hinge_tau_gates_the_term():
         jax.tree_util.tree_map(lambda a, b: a - b, s_hot.g_params,
                                s0.g_params), 0.0)
     assert g_diff > 0
+
+    # K-sample pooling (--ds-k 4): 3 extra rollouts, still finite, D
+    # untouched, and a different G step than the K=2 form
+    cfg_k4 = cfg_hot.replace(ds_k=4)
+    s_k4, m_k4 = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_k4))(
+        state, batch, rng)
+    assert np.isfinite(float(m_k4.g_loss))
+    np.testing.assert_allclose(float(m_k4.d_loss), float(m0.d_loss),
+                               rtol=1e-5)
+    k_diff = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, s_k4.g_params,
+                               s_hot.g_params), 0.0)
+    assert k_diff > 0
