@@ -237,6 +237,26 @@ RECIPES = {
     "robust1+info2+sn": ["--d-lr-decay-rate", "0.7", "--d-lr-decay-steps",
                          "10000", "--auto-recover", "--block-size", "1000",
                          "--info-weight", "2.0", "--spectral-norm"],
+    # round-3 session-3: model capacity — the one untried stability axis
+    # (h doubles G/D width AND the noise length; disclosed deviation from
+    # the reference's h=64 parity constraint, quality-recipe only)
+    "robust1+info2+inoise2+h128": ["--d-lr-decay-rate", "0.7",
+                                   "--d-lr-decay-steps", "10000",
+                                   "--auto-recover", "--block-size",
+                                   "1000", "--info-weight", "2.0",
+                                   "--d-input-noise", "0.05",
+                                   "--d-input-noise-steps", "40000",
+                                   "--hidden-size", "128"],
+    # redundant categorical codes (6 codes, 3 modes): raises the chance
+    # every turn mode has at least one code mapped to it PER CONDITION —
+    # attacks exactly the per-condition code-to-mode assignment failure
+    "robust1+info2+inoise2+codes6": ["--d-lr-decay-rate", "0.7",
+                                     "--d-lr-decay-steps", "10000",
+                                     "--auto-recover", "--block-size",
+                                     "1000", "--info-weight", "2.0",
+                                     "--d-input-noise", "0.05",
+                                     "--d-input-noise-steps", "40000",
+                                     "--n-latent-codes", "6"],
 }
 COMMON = ["--d-lr", "5e-4", "--latent-code", "categorical",
           "--n-latent-codes", "3", "--info-weight", "0.5",
