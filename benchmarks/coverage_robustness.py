@@ -247,6 +247,24 @@ RECIPES = {
                                    "--d-input-noise", "0.05",
                                    "--d-input-noise-steps", "40000",
                                    "--hidden-size", "128"],
+    # round-3 session-3: agent-centric canonical frames — the STRUCTURAL
+    # fix for per-condition collapse (all approach directions become the
+    # same problem in the heading frame; code→mode structure is learned
+    # once, globally), alone on each base recipe
+    "robust1+info2+inoise2+af": ["--d-lr-decay-rate", "0.7",
+                                 "--d-lr-decay-steps", "10000",
+                                 "--auto-recover", "--block-size", "1000",
+                                 "--info-weight", "2.0",
+                                 "--d-input-noise", "0.05",
+                                 "--d-input-noise-steps", "40000",
+                                 "--agent-frame"],
+    "robust1+inoise2+af": ["--d-lr-decay-rate", "0.7",
+                           "--d-lr-decay-steps", "10000",
+                           "--auto-recover", "--block-size", "1000",
+                           "--info-weight", "1.0",
+                           "--d-input-noise", "0.05",
+                           "--d-input-noise-steps", "40000",
+                           "--agent-frame"],
     # redundant categorical codes (6 codes, 3 modes): raises the chance
     # every turn mode has at least one code mapped to it PER CONDITION —
     # attacks exactly the per-condition code-to-mode assignment failure

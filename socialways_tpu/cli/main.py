@@ -36,6 +36,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use-social", action="store_true",
                    help="enable the social attention pooling (the paper's "
                         "mechanism; OFF by default like the reference)")
+    p.add_argument("--agent-frame", action="store_true",
+                   help="train/predict in per-agent canonical heading "
+                        "frames (rollouts map back to world at eval; "
+                        "incompatible with --use-social)")
     p.add_argument("--no-info-loss", action="store_true")
     p.add_argument("--info-weight", type=float, default=0.5)
     p.add_argument("--n-latent-codes", type=int, default=2)
@@ -252,6 +256,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         noise_len=args.hidden_size // 2,
         latent_dim=args.latent_dim,
         use_social=args.use_social,
+        agent_frame=getattr(args, "agent_frame", False),
         use_info_loss=not args.no_info_loss,
         loss_info_w=args.info_weight,
         n_latent_codes=args.n_latent_codes,

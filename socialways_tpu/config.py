@@ -181,6 +181,20 @@ class TrainConfig:
     ds_k: int = 2
     use_social: bool = False     # reference default (train.py:83) — paper's
                                  # attention is OFF by default; expose both.
+    # Agent-centric canonical frames (standard in the trajectory
+    # literature; no reference counterpart): every trajectory is rotated/
+    # translated into its own heading frame (origin = last observed point,
+    # +x = heading) before the model sees it, and rollouts are mapped back
+    # to world coordinates at the eval boundary.  Training (G, D, Q,
+    # losses) runs entirely in canonical coordinates — rotation+
+    # translation is an isometry, so every L2 loss value is exactly the
+    # world-frame value.  The payoff is structural: code→mode structure is
+    # learned ONCE and shared across approach directions, so
+    # per-condition mode collapse (one direction losing a mode while the
+    # others keep it) cannot happen without global collapse.
+    # Incompatible with use_social (neighbor geometry would mix frames).
+    # False = off (reference parity).
+    agent_frame: bool = False
 
     # ---- evaluation ----
     n_gen_samples: int = 20      # K for min-of-K ADE/FDE

@@ -205,6 +205,20 @@ def gan_step(
             if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
     obsv = batch["obsvs"].astype(dtype)
     pred = batch["preds"].astype(dtype)
+    if cfg.agent_frame:
+        # canonicalize per agent (ops/traj.py): the whole step — G, D, Q,
+        # every loss — then runs in agent-centric coordinates.  An
+        # isometry per row, so loss values equal the world-frame ones and
+        # the transform composes freely with DP sharding and grad-accum
+        # chunking (both row-aligned).
+        if cfg.use_social:
+            raise ValueError("agent_frame is incompatible with use_social "
+                             "(neighbor geometry would mix per-agent "
+                             "frames)")
+        from socialways_tpu.ops.traj import agent_frame_of, to_agent_frame
+        _af = agent_frame_of(obsv)
+        obsv = to_agent_frame(obsv, _af)
+        pred = to_agent_frame(pred, _af)
     scene_ids, valid = batch["scene_ids"], batch["valid"]
     n = obsv.shape[0]
     if cfg.pac > 1 and n % cfg.pac:

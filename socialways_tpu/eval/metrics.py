@@ -64,11 +64,22 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
             _flat_axis_index            # lazy: engine imports eval
         row0 = _flat_axis_index(axis_name) * n
         noise_k = jax.lax.dynamic_slice_in_dim(noise_k, row0, n, axis=1)
+    if cfg.agent_frame:
+        # canonicalize at the model boundary and map the K rollouts back
+        # to world coordinates — callers always see world-frame states
+        from socialways_tpu.ops.traj import (agent_frame_of,
+                                             from_agent_frame_4d,
+                                             to_agent_frame)
+        frame = agent_frame_of(obsv)
+        obsv = to_agent_frame(obsv, frame)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas, cfg.max_scene_size)
-    return jax.vmap(
+    out = jax.vmap(
         lambda z: decode_rollout(g_params, prep, z, cfg.n_next, cfg.decoder)
     )(noise_k)
+    if cfg.agent_frame:
+        out = from_agent_frame_4d(out, frame)   # frame [N] broadcasts to K
+    return out
 
 
 def k_sample_errors(pred_hat_k: jnp.ndarray, pred: jnp.ndarray

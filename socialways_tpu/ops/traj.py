@@ -37,6 +37,52 @@ def get_traj_4d(obsv_p: jnp.ndarray, pred_p: Optional[jnp.ndarray] = None
     return obsv_to_4d(obsv_p), pred_to_4d(obsv_p, pred_p)
 
 
+def agent_frame_of(obsv_p: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Per-agent canonical (agent-centric) frame from an observation.
+
+    Origin = the last observed point; +x axis = the last observed
+    displacement (the agent's heading).  Zero displacement falls back to
+    the identity rotation.  Returns ``(c, cos, sin)`` with shapes
+    ``[..., 2], [...], [...]`` (leading dims = agent batch dims).
+
+    This is the standard agent-centric canonicalization of the trajectory
+    literature (no reference counterpart — the reference trains in world
+    coordinates); with it the model sees every approach direction as the
+    SAME problem, so a multimodal structure learned once is shared across
+    conditions instead of re-learned per direction.
+    """
+    c = obsv_p[..., -1, :]
+    d = obsv_p[..., -1, :] - obsv_p[..., -2, :]
+    nrm = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    unit = jnp.where(nrm > 1e-8, d / jnp.maximum(nrm, 1e-8),
+                     jnp.array([1.0, 0.0], d.dtype))
+    return c, unit[..., 0], unit[..., 1]
+
+
+def to_agent_frame(points: jnp.ndarray, frame) -> jnp.ndarray:
+    """World → agent frame.  ``points [..., T, 2]`` against a frame whose
+    members broadcast along the leading dims (extra leading axes on
+    ``points`` — e.g. a K-sample axis — broadcast for free)."""
+    c, cos, sin = frame
+    q = points - c[..., None, :]
+    x = q[..., 0] * cos[..., None] + q[..., 1] * sin[..., None]
+    y = -q[..., 0] * sin[..., None] + q[..., 1] * cos[..., None]
+    return jnp.stack([x, y], axis=-1)
+
+
+def from_agent_frame_4d(states: jnp.ndarray, frame) -> jnp.ndarray:
+    """Agent frame → world for 4-D rollout states ``[..., T, 4]``:
+    positions rotate + translate, velocity components only rotate."""
+    c, cos, sin = frame
+    px, py = states[..., 0], states[..., 1]
+    vx, vy = states[..., 2], states[..., 3]
+    wx = px * cos[..., None] - py * sin[..., None] + c[..., None, 0]
+    wy = px * sin[..., None] + py * cos[..., None] + c[..., None, 1]
+    wvx = vx * cos[..., None] - vy * sin[..., None]
+    wvy = vx * sin[..., None] + vy * cos[..., None]
+    return jnp.stack([wx, wy, wvx, wvy], axis=-1)
+
+
 def predict_cv(obsv: jnp.ndarray, n_next: int) -> jnp.ndarray:
     """Constant-velocity baseline (reference utils/linear_models.py:9-20):
     v = (p[-1] - p[-3]) / 2 when possible, else a single diff; extrapolate
