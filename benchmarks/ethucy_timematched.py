@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--block", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
+    ap.add_argument("--agent-frame", action="store_true",
+                    help="A/B the agent-centric canonical frames on the "
+                         "LOO protocol (cfg.agent_frame)")
     args = ap.parse_args()
 
     folds = prepare_folds(args.dir)
@@ -74,7 +77,8 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
     from socialways_tpu.data.dataset import load_npz_dataset
     from socialways_tpu.engine.trainer import Trainer
 
-    cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed)
+    cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed,
+                  agent_frame=args.agent_frame)
     ds = load_npz_dataset(fold_npz)
     trainer = Trainer(cfg, ds)
     state = trainer.init_state()
