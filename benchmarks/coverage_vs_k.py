@@ -66,6 +66,7 @@ def main():
     ap.add_argument("--info-weight", type=float, default=2.0)
     ap.add_argument("--n-latent-codes", type=int, default=3)
     ap.add_argument("--hidden-size", type=int, default=64)
+    ap.add_argument("--agent-frame", action="store_true")
     ap.add_argument("--ks", default="20,64,256")
     ap.add_argument("--rngs", type=int, default=3,
                     help="eval RNG replicates per K (error bars)")
@@ -94,7 +95,8 @@ def main():
                       loss_info_w=args.info_weight, lr_d=5e-4,
                       hidden_size=args.hidden_size,
                       social_feature_size=args.hidden_size,
-                      noise_len=args.hidden_size // 2)
+                      noise_len=args.hidden_size // 2,
+                      agent_frame=args.agent_frame)
     template = init_train_state(jax.random.PRNGKey(0), cfg)
     state, epoch, _, _ = restore_checkpoint(args.ckpt, template)
 
