@@ -265,6 +265,26 @@ RECIPES = {
                            "--d-input-noise", "0.05",
                            "--d-input-noise-steps", "40000",
                            "--agent-frame"],
+    # af composes with the global diversity levers: agent frames make
+    # collapse all-or-nothing GLOBAL (measured: the af seed-1 final dip is
+    # one mode lost uniformly across every condition, flat in K), which is
+    # exactly the statistic mode-seeking / the ds hinge can see — ms's
+    # per-condition blind spot no longer exists
+    "robust1+info2+inoise2+af+ms": ["--d-lr-decay-rate", "0.7",
+                                    "--d-lr-decay-steps", "10000",
+                                    "--auto-recover", "--block-size",
+                                    "1000", "--info-weight", "2.0",
+                                    "--d-input-noise", "0.05",
+                                    "--d-input-noise-steps", "40000",
+                                    "--agent-frame", "--ms-weight", "0.1"],
+    "robust1+info2+inoise2+af+ds": ["--d-lr-decay-rate", "0.7",
+                                    "--d-lr-decay-steps", "10000",
+                                    "--auto-recover", "--block-size",
+                                    "1000", "--info-weight", "2.0",
+                                    "--d-input-noise", "0.05",
+                                    "--d-input-noise-steps", "40000",
+                                    "--agent-frame", "--ds-weight", "5.0",
+                                    "--ds-tau", "0.05", "--ds-k", "4"],
     # redundant categorical codes (6 codes, 3 modes): raises the chance
     # every turn mode has at least one code mapped to it PER CONDITION —
     # attacks exactly the per-condition code-to-mode assignment failure
