@@ -78,7 +78,7 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
     from socialways_tpu.engine.trainer import Trainer
 
     cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed,
-                  agent_frame=args.agent_frame)
+                      agent_frame=args.agent_frame)
     ds = load_npz_dataset(fold_npz)
     trainer = Trainer(cfg, ds)
     state = trainer.init_state()

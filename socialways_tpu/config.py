@@ -192,7 +192,14 @@ class TrainConfig:
     # learned ONCE and shared across approach directions, so
     # per-condition mode collapse (one direction losing a mode while the
     # others keep it) cannot happen without global collapse.
-    # Incompatible with use_social (neighbor geometry would mix frames).
+    # Composes with use_social: the pairwise social geometry (distance,
+    # bearing, DCA — relational quantities needing one shared frame) is
+    # computed from WORLD-frame last-obs states captured before
+    # canonicalization, while the attention pools the CANONICAL encoder
+    # states h_j (heading-invariant motion descriptors — there is no
+    # natural rotation action on an LSTM hidden state, so rotating h_j
+    # is not an option).  The composed model stays equivariant under
+    # global isometries (tests/test_agent_frame.py).
     # False = off (reference parity).
     agent_frame: bool = False
 

@@ -52,9 +52,30 @@ def crowd_simulate(
 
     def window(carry, z):
         obsv = carry
-        pred = generator_rollout(g_params, obsv, z, cfg.n_next,
+        if cfg.agent_frame:
+            # canonicalize per window: each window's frame comes from its
+            # own observation buffer (origin = last point, +x = heading),
+            # predictions map back to world before re-entering the buffer
+            # — so an agent-frame-trained checkpoint sees exactly the
+            # canonical inputs it trained on (matches gan_step /
+            # k_sample_rollout; fixes the round-3 advisor finding that
+            # simulate fed world coordinates to canonical-frame weights).
+            # With use_social the pairwise geometry stays world-frame.
+            from socialways_tpu.ops.traj import (agent_frame_of,
+                                                 from_agent_frame_4d,
+                                                 obsv_to_4d,
+                                                 to_agent_frame)
+            social_x4 = obsv_to_4d(obsv)[:, -1] if cfg.use_social else None
+            frame = agent_frame_of(obsv)
+            obsv_in = to_agent_frame(obsv, frame)
+        else:
+            obsv_in, social_x4, frame = obsv, None, None
+        pred = generator_rollout(g_params, obsv_in, z, cfg.n_next,
                                  scene_ids, cfg.use_social, cfg.decoder,
-                                 cfg.use_pallas, cfg.max_scene_size)
+                                 cfg.use_pallas, cfg.max_scene_size,
+                                 social_states=social_x4)
+        if cfg.agent_frame:
+            pred = from_agent_frame_4d(pred, frame)
         pos = pred[..., :2]
         new_obsv = jnp.concatenate([obsv, pos], axis=1)[:, -n_past:]
         return new_obsv, pos
@@ -108,15 +129,31 @@ def crowd_simulate_sharded(
     def local_sim(obsv_local, ids_local, noise_local):
         def window(carry, z):
             obsv = carry
-            obsv_4d = obsv_to_4d(obsv)
+            if cfg.agent_frame:
+                # same per-window canonicalization as crowd_simulate; the
+                # social geometry source stays the WORLD-frame last-obs
+                # states (sharded social_ctx takes x4_last directly, so
+                # agents-axis exchange is untouched)
+                from socialways_tpu.ops.traj import (agent_frame_of,
+                                                     from_agent_frame_4d,
+                                                     to_agent_frame)
+                world_x4_last = obsv_to_4d(obsv)[:, -1]
+                frame = agent_frame_of(obsv)
+                obsv_in = to_agent_frame(obsv, frame)
+            else:
+                obsv_in, frame = obsv, None
+            obsv_4d = obsv_to_4d(obsv_in)
             h, c = encode_observation(g_params, obsv_4d)
             if cfg.use_social:
-                s = social_ctx(g_params, obsv_4d[:, -1], h,
-                               ids_local, axis_name)
+                x4_geo = (world_x4_last if cfg.agent_frame
+                          else obsv_4d[:, -1])
+                s = social_ctx(g_params, x4_geo, h, ids_local, axis_name)
             else:
                 s = jnp.zeros_like(h)
-            pred = decode_rollout(g_params, (h, c, s, obsv[:, -1]), z,
+            pred = decode_rollout(g_params, (h, c, s, obsv_in[:, -1]), z,
                                   cfg.n_next, cfg.decoder)
+            if cfg.agent_frame:
+                pred = from_agent_frame_4d(pred, frame)
             pos = pred[..., :2]
             return jnp.concatenate([obsv, pos], axis=1)[:, -n_past:], pos
 

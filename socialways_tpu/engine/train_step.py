@@ -205,17 +205,21 @@ def gan_step(
             if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
     obsv = batch["obsvs"].astype(dtype)
     pred = batch["preds"].astype(dtype)
+    social_x4 = None
     if cfg.agent_frame:
         # canonicalize per agent (ops/traj.py): the whole step — G, D, Q,
         # every loss — then runs in agent-centric coordinates.  An
         # isometry per row, so loss values equal the world-frame ones and
         # the transform composes freely with DP sharding and grad-accum
-        # chunking (both row-aligned).
+        # chunking (both row-aligned).  With use_social the pairwise
+        # social geometry (distance/bearing/DCA — relational quantities
+        # needing one shared frame) is computed from the WORLD-frame
+        # last-obs states captured here BEFORE canonicalization, while the
+        # pooled h_j stay canonical (models.generator.prepare_rollout).
+        from socialways_tpu.ops.traj import (agent_frame_of, obsv_to_4d,
+                                             to_agent_frame)
         if cfg.use_social:
-            raise ValueError("agent_frame is incompatible with use_social "
-                             "(neighbor geometry would mix per-agent "
-                             "frames)")
-        from socialways_tpu.ops.traj import agent_frame_of, to_agent_frame
+            social_x4 = obsv_to_4d(obsv)[:, -1]
         _af = agent_frame_of(obsv)
         obsv = to_agent_frame(obsv, _af)
         pred = to_agent_frame(pred, _af)
@@ -289,15 +293,16 @@ def gan_step(
 
     obsv_4d, pred_4d = get_traj_4d(obsv, pred)
 
-    def rollout_on(g_params, obsv_, z, sids):
+    def rollout_on(g_params, obsv_, z, sids, social_states=None):
         out = generator_rollout(cast(g_params), cast(obsv_), cast(z),
                                 cfg.n_next, sids, cfg.use_social,
                                 cfg.decoder, cfg.use_pallas,
-                                cfg.max_scene_size, cfg.remat_steps)
+                                cfg.max_scene_size, cfg.remat_steps,
+                                cast(social_states))
         return out.astype(dtype)
 
     def rollout(g_params, z):
-        return rollout_on(g_params, obsv, z, scene_ids)
+        return rollout_on(g_params, obsv, z, scene_ids, social_x4)
 
     # ---- exact gradient accumulation (cfg.grad_accum > 1) ----------------
     # rows are split into equal micro-chunks; each phase's gradient is a
@@ -331,6 +336,8 @@ def gan_step(
               "scene_ids": chunk(scene_ids), "valid": chunk(valid),
               "zeros": chunk(zeros_t), "ones": chunk(ones_t),
               "pred": chunk(pred)}
+        if social_x4 is not None:
+            mb["social_x4"] = chunk(social_x4)
         # dual per-chunk weights: sample terms (info/r1/l2) accumulate by
         # valid-SAMPLE share, label terms by valid-PACK share (pac>1 means a
         # mixed padding-tail pack counts toward samples but not packs, and a
@@ -375,7 +382,8 @@ def gan_step(
         # implies serial-rollout memory behavior
         pred_hat_c = jax.lax.map(
             lambda cb: rollout_on(state.g_params, cb["obsv"], cb["noise"],
-                                  cb["scene_ids"]), mb)
+                                  cb["scene_ids"], cb.get("social_x4")),
+            mb)
         mb["pred_hat"] = jax.lax.stop_gradient(pred_hat_c)
         pred_hat_fwd = pred_hat_c.reshape((n,) + pred_hat_c.shape[2:])
         rollout_vjp = None
@@ -644,7 +652,7 @@ def gan_step(
     if accum:
         def _g_chunk_loss(g_params, cb, ws, wp):
             ph = rollout_on(g_params, cb["obsv"], cb["noise"],
-                            cb["scene_ids"])
+                            cb["scene_ids"], cb.get("social_x4"))
             ph_in = ph if eps_g is None else ph + sigma * cb["eps_g"]
             gen_label, gen_code = discriminator_apply(
                 cast(d_params_g), cast(cb["obsv_4d"]), cast(ph_in),

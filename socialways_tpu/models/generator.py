@@ -96,17 +96,23 @@ def encode_observation(params: Dict, obsv_4d: jnp.ndarray,
 def social_context(params: Dict, obsv_4d: jnp.ndarray, h: jnp.ndarray,
                    scene_ids: jnp.ndarray,
                    use_pallas: bool = False,
-                   max_scene: int = 0) -> jnp.ndarray:
+                   max_scene: int = 0,
+                   x4_last: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Attention-pooled social context from the last observed frame.
 
     Routed through the size-aware dispatch in kernels.social_attention:
     fused Pallas kernel (requested + TPU + fits VMEM), blockwise streamed
-    form above the dense-memory cliff, dense XLA for small inputs."""
+    form above the dense-memory cliff, dense XLA for small inputs.
+
+    ``x4_last`` overrides the geometry source (default: the last frame of
+    ``obsv_4d``) — under cfg.agent_frame the pairwise features must come
+    from WORLD-frame states while ``h`` stays canonical (see
+    prepare_rollout)."""
     from socialways_tpu.kernels.social_attention import social_attention
     return social_attention(
         {"feat_mlp": params["feat_mlp"], "attn_w": params["attn_w"]},
-        obsv_4d[:, -1], h, scene_ids, use_pallas=use_pallas,
-        max_scene=max_scene)
+        obsv_4d[:, -1] if x4_last is None else x4_last, h, scene_ids,
+        use_pallas=use_pallas, max_scene=max_scene)
 
 
 def prepare_rollout(
@@ -117,11 +123,24 @@ def prepare_rollout(
     use_pallas: bool = False,
     max_scene: int = 0,
     remat: bool = False,
+    social_states: Optional[jnp.ndarray] = None,
 ):
     """Noise-independent half of the rollout: encode the observation and
     pool the social context.  K-sample evaluation computes this ONCE and
     vmaps only :func:`decode_rollout` over the K noise draws — the reference
-    re-ran the whole encoder K times (train.py:583-585)."""
+    re-ran the whole encoder K times (train.py:583-585).
+
+    ``social_states`` ([N, 4], optional) overrides the last-observed-frame
+    states the pairwise social geometry is computed from.  This is how
+    cfg.agent_frame composes with use_social: ``obsv_p`` arrives in
+    per-agent canonical frames (so ``h`` is a heading-invariant motion
+    descriptor) while ``social_states`` carries the WORLD-frame last-obs
+    states — the pairwise features (distance, bearing, DCA;
+    train.py:192-241) are relational quantities between agents and only
+    make sense in one shared frame.  The pooled context Σ attn_ij·h_j then
+    mixes world-frame attention scores with canonical h_j, which is
+    invariant under global isometries of the scene — the full composed
+    model stays rotation-equivariant (tests/test_agent_frame.py)."""
     n = obsv_p.shape[0]
     obsv_4d = obsv_to_4d(obsv_p)
     h, c = encode_observation(params, obsv_4d, remat)
@@ -129,7 +148,7 @@ def prepare_rollout(
         if scene_ids is None:
             scene_ids = jnp.zeros((n,), jnp.int32)
         s = social_context(params, obsv_4d, h, scene_ids, use_pallas,
-                           max_scene)
+                           max_scene, x4_last=social_states)
     else:
         s = jnp.zeros_like(h)
     return h, c, s, obsv_p[:, -1]
@@ -206,13 +225,17 @@ def generator_rollout(
     use_pallas: bool = False,
     max_scene: int = 0,
     remat_steps: bool = False,
+    social_states: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full prediction rollout (prepare + decode). [N, n_next, 4].
 
     ``use_pallas`` gates the fused social-attention kernel (an on-device
     win); ``remat_steps`` checkpoints the encoder/decode steps
-    (crowd-scale training memory)."""
+    (crowd-scale training memory); ``social_states`` supplies world-frame
+    last-obs states for the social geometry when ``obsv_p`` is
+    canonicalized (see prepare_rollout)."""
     prep = prepare_rollout(params, obsv_p, scene_ids, use_social,
-                           use_pallas, max_scene, remat_steps)
+                           use_pallas, max_scene, remat_steps,
+                           social_states)
     return decode_rollout(params, prep, noise, n_next, decoder,
                           remat_steps)
