@@ -39,7 +39,8 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--agent-frame", action="store_true",
                    help="train/predict in per-agent canonical heading "
                         "frames (rollouts map back to world at eval; "
-                        "incompatible with --use-social)")
+                        "composes with --use-social — pairwise social "
+                        "geometry stays world-frame)")
     p.add_argument("--no-info-loss", action="store_true")
     p.add_argument("--info-weight", type=float, default=0.5)
     p.add_argument("--n-latent-codes", type=int, default=2)
@@ -61,6 +62,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save-interval", type=int, default=50)
     p.add_argument("--model-dir", default="trained_models")
     p.add_argument("--dump-dir", default="")
+    p.add_argument("--lnr-model", default="cv", choices=["cv", "kalman"],
+                   help="linear baseline written to dumps' preds_lnr "
+                        "(cv = reference parity)")
     p.add_argument("--host-loop", action="store_true",
                    help="per-chunk host loop instead of epoch-on-device")
     p.add_argument("--bf16", action="store_true",
@@ -283,6 +287,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         save_interval=args.save_interval,
         model_dir=args.model_dir,
         dump_dir=args.dump_dir,
+        lnr_model=getattr(args, "lnr_model", "cv"),
         epoch_on_device=not args.host_loop,
         use_pallas=getattr(args, "pallas", False),
         grad_clip=getattr(args, "grad_clip", 0.0),
@@ -576,7 +581,10 @@ def _eval_coverage(trainer, state, ds, cfg, rng) -> float:
 def _dump_first_chunk(trainer, state, ds, cfg, epoch, rng) -> None:
     from socialways_tpu.eval.metrics import k_sample_rollout
     from socialways_tpu.io.dumps import dump_predictions
-    from socialways_tpu.ops.traj import predict_cv
+    if cfg.lnr_model == "kalman":
+        from socialways_tpu.ops.kalman import predict_kalman as lnr_fn
+    else:
+        from socialways_tpu.ops.traj import predict_cv as lnr_fn
     import jax.numpy as jnp
 
     chunk = {k: v[0] for k, v in trainer._test_dev.items()}
@@ -585,7 +593,7 @@ def _dump_first_chunk(trainer, state, ds, cfg, epoch, rng) -> None:
     pred_k = k_sample_rollout(eval_params(state), chunk["obsvs"],
                               chunk["scene_ids"], rng, cfg.n_gen_samples,
                               cfg)
-    lnr = predict_cv(chunk["obsvs"], cfg.n_next)
+    lnr = lnr_fn(chunk["obsvs"], cfg.n_next)
     t0 = ds.times[ds.n_train_samples] if len(ds.times) > ds.n_train_samples \
         else 0
     wr_dir = os.path.join(cfg.dump_dir, cfg.dataset, "socialWays", str(epoch))
@@ -615,20 +623,22 @@ def cmd_evaluate(args) -> int:
 
     if args.linear:
         from socialways_tpu.eval.metrics import k_sample_errors
+        from socialways_tpu.ops.kalman import predict_kalman
         from socialways_tpu.ops.traj import predict_cv
         import jax.numpy as jnp
+        lnr_fn = predict_kalman if args.linear == "kalman" else predict_cv
         total_ade = total_fde = 0.0
         n = 0
         for i in range(trainer.test_packed.n_chunks):
             chunk = {k: v[i] for k, v in trainer._test_dev.items()}
-            lnr = predict_cv(chunk["obsvs"], cfg.n_next)
+            lnr = lnr_fn(chunk["obsvs"], cfg.n_next)
             err = k_sample_errors(lnr[None], chunk["preds"])[0]
             valid = np.asarray(chunk["valid"])
             total_ade += float(np.asarray(jnp.mean(err, -1))[valid].sum())
             total_fde += float(np.asarray(err[:, -1])[valid].sum())
             n += int(valid.sum())
         ss = ds.ss
-        print(f"Linear baseline: ADE,FDE ({cfg.n_next}) = "
+        print(f"Linear baseline ({args.linear}): ADE,FDE ({cfg.n_next}) = "
               f"({total_ade / ss / max(n,1):.3f}, "
               f"{total_fde / ss / max(n,1):.3f})")
         return 0
@@ -906,7 +916,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["biwi", "trajnet", "sdd", "seyfried"])
     p.add_argument("--n-past", type=int, default=8)
     p.add_argument("--n-next", type=int, default=12)
-    p.add_argument("--down-sample", type=int, default=1)
+    p.add_argument("--down-sample", type=int, default=None,
+                   help="frame subsampling; default = the parser's own (SDD: 12, others: 1)")
     p.set_defaults(fn=cmd_create_dataset)
 
     p = sub.add_parser("train", help="train the GAN")
@@ -917,8 +928,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("evaluate", help="evaluate a checkpoint")
     p.add_argument("--data", required=True)
     p.add_argument("--model-file", default="")
-    p.add_argument("--linear", action="store_true",
-                   help="evaluate the constant-velocity baseline instead")
+    p.add_argument("--linear", nargs="?", const="cv", default="",
+                   choices=["cv", "kalman"],
+                   help="evaluate a linear baseline instead: 'cv' "
+                        "(constant velocity, reference "
+                        "utils/linear_models.py:9-20; bare --linear keeps "
+                        "meaning this) or 'kalman' (the reference's "
+                        "commented-out MyKalman rebuilt live as "
+                        "ops/kalman.py — filter the observation, roll the "
+                        "dynamics forward)")
     _add_model_flags(p)
     p.set_defaults(fn=cmd_evaluate)
 
@@ -999,7 +1017,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True)
     p.add_argument("--parser", default="sdd",
                    choices=["biwi", "trajnet", "sdd", "seyfried"])
-    p.add_argument("--down-sample", type=int, default=1)
+    p.add_argument("--down-sample", type=int, default=None,
+                   help="frame subsampling; default = the parser's own (SDD: 12, others: 1)")
     p.add_argument("--min-len", type=int, default=0)
     p.set_defaults(fn=cmd_plot_tracks)
 

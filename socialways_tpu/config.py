@@ -264,6 +264,12 @@ class TrainConfig:
     # ---- io ----
     model_dir: str = "trained_models"
     dump_dir: str = ""           # prediction npz dump directory ("" = off)
+    # linear baseline written to the dumps' ``preds_lnr`` field and used by
+    # `evaluate --linear` when no explicit choice is given: "cv" (constant
+    # velocity — reference parity, utils/linear_models.py:9-20) or
+    # "kalman" (ops/kalman.py — the reference's commented-out MyKalman
+    # rebuilt live; beats CV on curved tracks, tests/test_ops.py)
+    lnr_model: str = "cv"
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

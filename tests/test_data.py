@@ -94,6 +94,62 @@ def test_trajnet_parser_glob(tmp_path):
     assert sorted(p.all_ids) == [1, 2]
 
 
+def _sdd_row(aid, x1, y1, x2, y2, ts, label="Pedestrian"):
+    # real SDD annotation rows: id xmin ymin xmax ymax frame lost occluded
+    # generated "label" (quoted string last — the column that disables the
+    # numeric fast path)
+    return f'{aid} {x1} {y1} {x2} {y2} {ts} 0 0 0 "{label}"'
+
+
+def test_sdd_parser_bbox_center_and_downsample(tmp_path):
+    """Bbox-center/round()/every-12th-frame math of the reference
+    SDD_Parsrer (parse_utils.py:150-228)."""
+    from socialways_tpu.data import SDDParser
+
+    rows = [
+        _sdd_row(7, 10.4, 20.6, 30.4, 40.6, 0),     # kept: ts % 12 == 0
+        _sdd_row(7, 11.0, 21.0, 31.0, 41.0, 5),     # dropped: ts % 12 != 0
+        _sdd_row(7, 14.0, 24.0, 34.0, 44.0, 12),    # kept
+        _sdd_row(9, 0.0, 0.0, 100.0, 50.0, 12, label="Biker"),
+        "1 2 3",                                     # short row: skipped
+    ]
+    f = _write(tmp_path, "annotations.txt", rows)
+    p = SDDParser()
+    p.load(f)                                        # default down_sample=12
+    assert p.actual_fps == 2.5 and p.interval == 12
+    assert p.all_ids == [7, 9]
+    # round() BEFORE centering: (round(10.4)+round(30.4))/2 = 20,
+    # (round(20.6)+round(40.6))/2 = 31
+    np.testing.assert_allclose(p.p_data[0], [[20.0, 31.0], [24.0, 34.0]])
+    np.testing.assert_allclose(p.p_data[1], [[50.0, 25.0]])
+    assert [int(t) for t in p.t_data[0]] == [0, 12]
+    assert p.min_t == 0 and p.max_t == 12
+    # keep-ratio scale over x in [20,50], y in [25,34]
+    assert p.scale.sx == pytest.approx(1.0 / 30.0)
+    assert p.scale.sy == pytest.approx(1.0 / 30.0)
+
+
+def test_sdd_parser_glob_and_custom_downsample(tmp_path):
+    from socialways_tpu.data import SDDParser
+
+    _write(tmp_path, "video0.txt",
+           [_sdd_row(1, 0, 0, 2, 2, t) for t in range(0, 7)])
+    _write(tmp_path, "video1.txt",
+           [_sdd_row(2, 4, 4, 6, 6, 0), _sdd_row(2, 6, 6, 8, 8, 3)])
+    p = SDDParser()
+    p.load(str(tmp_path) + "/*.txt", down_sample=3)
+    assert sorted(p.all_ids) == [1, 2]
+    assert [int(t) for t in p.t_data[0]] == [0, 3, 6]
+    assert [int(t) for t in p.t_data[1]] == [0, 3]
+
+
+def test_sdd_reference_alias():
+    """The reference's (sic) class name resolves to our parser."""
+    from socialways_tpu.data import SDDParser
+    from socialways_tpu.data.parsers import SDD_Parsrer
+    assert SDD_Parsrer is SDDParser
+
+
 # ------------------------------------------------------------ windowing
 def test_create_dataset_windows():
     # one agent, 20 consecutive frames at interval 1, positions = (t, -t)

@@ -111,6 +111,78 @@ def test_cli_train_evaluate_round_trip(tmp_path, toy_npz):
                      "--h-size", "16"]) == 0
 
 
+def test_sdd_create_dataset_train_smoke(tmp_path):
+    """End-to-end: SDD annotation fixture → create-dataset --parser sdd →
+    2-epoch train.  Covers the one parser that had no CLI-reachable test
+    (reference format: parse_utils.py:150-228)."""
+    rows = []
+    rng = np.random.RandomState(3)
+    for aid in range(6):
+        x0, y0 = rng.rand(2) * 50
+        dx, dy = rng.rand(2) * 4 - 2
+        for k in range(30):                      # ts 0, 12, ..., 348
+            t = 12 * k
+            x = x0 + dx * k
+            y = y0 + dy * k
+            rows.append(f'{aid} {x:.1f} {y:.1f} {x + 10:.1f} {y + 14:.1f} '
+                        f'{t} 0 0 0 "Pedestrian"')
+    ann = tmp_path / "annotations.txt"
+    ann.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "sdd.npz")
+    assert cli_main(["create-dataset", str(ann), out,
+                     "--parser", "sdd", "--n-past", "2", "--n-next", "2"
+                     ]) == 0
+    d = np.load(out)
+    assert d["obsvs"].shape[1:] == (2, 2) and d["obsvs"].shape[0] > 20
+    assert cli_main(["train", "--data", out, "--epochs", "2",
+                     "--h-size", "16", "--batch-size", "32",
+                     "--model-dir", str(tmp_path / "m"),
+                     "--test-interval", "10", "--dataset", "sddtoy"]) == 0
+
+
+def test_evaluate_linear_kalman_beats_cv_on_curves(tmp_path, capsys):
+    """`evaluate --linear kalman` is wired end-to-end and beats the CV
+    baseline on curved noisy tracks (the ops-level ordering, now reachable
+    from the CLI — reference counterpart: the commented-out MyKalman,
+    utils/linear_models.py:23-124)."""
+    import re
+
+    rng = np.random.RandomState(0)
+    n, n_past, n_next = 40, 8, 12
+    tt = np.arange(n_past + n_next, dtype=np.float32)
+    obsvs, preds = [], []
+    for i in range(n):
+        # constant-turn arcs with measurement noise — curvature is what
+        # the const-accel KF can track and pure CV extrapolation cannot
+        r = 2.0 + rng.rand() * 2.0
+        w = 0.12 + 0.05 * rng.rand()
+        phi = rng.rand() * 2 * np.pi
+        xy = np.stack([r * np.cos(phi + w * tt),
+                       r * np.sin(phi + w * tt)], axis=-1)
+        xy += 0.01 * rng.randn(*xy.shape).astype(np.float32)
+        obsvs.append(xy[:n_past])
+        preds.append(xy[n_past:])
+    obsvs = np.asarray(obsvs, np.float32)
+    preds = np.asarray(preds, np.float32)
+    times = np.arange(n, dtype=np.int32)
+    batches = np.stack([np.arange(0, n, 4), np.arange(4, n + 1, 4)],
+                       axis=-1).astype(np.int16)
+    npz = str(tmp_path / "curves.npz")
+    np.savez(npz, obsvs=obsvs, preds=preds, times=times, batches=batches)
+
+    def linear_ade(kind):
+        assert cli_main(["evaluate", "--data", npz, "--linear", kind,
+                         "--h-size", "16"]) == 0
+        out = capsys.readouterr().out
+        m = re.search(rf"Linear baseline \({kind}\).*= \(([\d.]+),", out)
+        assert m, out
+        return float(m.group(1))
+
+    ade_cv = linear_ade("cv")
+    ade_kf = linear_ade("kalman")
+    assert ade_kf < ade_cv
+
+
 def test_viz_render(tmp_path, toy_npz):
     from socialways_tpu.io.dumps import dump_predictions
     from socialways_tpu.viz.heatmap import render_preds_dir
