@@ -394,30 +394,74 @@ def _run_real_reference() -> float:
         "reference_steps_per_sec"]
 
 
-def get_reference_baseline(use_social: bool = False) -> float:
-    """Non-social: the real reference's measured steps/s.  Social: the
-    eager-torch proxy (the reference hard-codes use_social=False at
-    train.py:83; its social path cannot be enabled without editing it)."""
-    key = ("torch_eager_social_steps_per_sec" if use_social
-           else "reference_real_steps_per_sec")
+def _load_baseline_cache() -> dict:
     cache = {}
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as fh:
             cache = json.load(fh)
-        if key in cache:
-            return cache[key]
-    if use_social:
-        cache[key] = _bench_torch_reference(n_steps=4, use_social=True)
-    else:
-        try:
-            cache[key] = _run_real_reference()
-        except Exception as e:        # reference tree absent: proxy fallback
-            print(f"real-reference run failed ({e}); using proxy",
-                  file=sys.stderr)
-            cache[key] = _bench_torch_reference(n_steps=8)
+    # migrate a legacy single-value cache to the dated-history schema (the
+    # legacy value was measured when the baseline protocol was established)
+    if ("reference_real_steps_per_sec" in cache
+            and "reference_real_measurements" not in cache):
+        cache["reference_real_measurements"] = [
+            {"date": "2026-08-17",
+             "steps_per_sec": cache["reference_real_steps_per_sec"]}]
+    return cache
+
+
+def _save_baseline_cache(cache: dict) -> None:
     with open(_BASELINE_CACHE, "w") as fh:
         json.dump(cache, fh)
-    return cache[key]
+
+
+def measure_reference_now(cache: dict):
+    """Same-day re-measure of the ACTUAL reference on this host; appends a
+    dated entry to the cache history and returns it (None on failure).
+
+    The reference's wall speed drifts across container sessions (round 3
+    measured 9.339 steps/s one day and 3.479 the next on the same code),
+    so a single cached denominator makes the headline ratio ambiguous —
+    every live bench run re-measures and reports BOTH the conservative
+    (fastest-ever reference) and the same-day ratio, each dated."""
+    import datetime
+    try:
+        sps = _run_real_reference()
+    except Exception as e:
+        print(f"same-day reference re-measure failed ({e})",
+              file=sys.stderr)
+        return None
+    entry = {"date": datetime.date.today().isoformat(),
+             "steps_per_sec": round(sps, 3)}
+    hist = cache.setdefault("reference_real_measurements", [])
+    hist.append(entry)
+    _save_baseline_cache(cache)
+    return entry
+
+
+def get_reference_baseline(use_social: bool = False) -> float:
+    """Non-social: the real reference's measured steps/s (the FASTEST
+    dated measurement on record — the conservative denominator).  Social:
+    the eager-torch proxy (the reference hard-codes use_social=False at
+    train.py:83; its social path cannot be enabled without editing it)."""
+    cache = _load_baseline_cache()
+    if use_social:
+        key = "torch_eager_social_steps_per_sec"
+        if key not in cache:
+            cache[key] = _bench_torch_reference(n_steps=4, use_social=True)
+            _save_baseline_cache(cache)
+        return cache[key]
+    hist = cache.get("reference_real_measurements", [])
+    if not hist:
+        entry = measure_reference_now(cache)
+        if entry is None:             # reference tree absent: proxy fallback
+            print("using eager-torch proxy baseline", file=sys.stderr)
+            hist = [{"date": "proxy",
+                     "steps_per_sec": _bench_torch_reference(n_steps=8)}]
+            cache["reference_real_measurements"] = hist
+            _save_baseline_cache(cache)
+        else:
+            hist = cache["reference_real_measurements"]
+    return max(m["steps_per_sec"] for m in hist)
 
 
 def _wait_for_axon(max_wait_s: int = 900) -> bool:
@@ -511,7 +555,9 @@ def main():
     bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
     social_sps = _bench_ours_scanned(n_steps=2000, use_social=True)
     agent_steps = _bench_rollout_agent_steps()
-    baseline = get_reference_baseline()
+    baseline = get_reference_baseline()          # fastest dated measurement
+    cache = _load_baseline_cache()
+    same_day = measure_reference_now(cache)      # dated re-measure, may fail
     social_baseline = get_reference_baseline(use_social=True)
     best = max(steps_per_sec, scanned_sps, bf16_sps)
     cfg_tag = f"h{HIDDEN}-b{BATCH}-unroll1-info"
@@ -521,7 +567,13 @@ def main():
         "metric": "gan_train_steps_per_sec_per_chip",
         "value": round(best, 2),
         "unit": "steps/s",
+        # headline ratio = conservative: divided by the FASTEST reference
+        # measurement ever recorded on this container (dated below); the
+        # same-day ratio uses this run's own re-measure of the reference
         "vs_baseline": round(best / baseline, 2),
+        "vs_baseline_same_day": (
+            round(best / same_day["steps_per_sec"], 2) if same_day
+            else None),
         "platform": platform,
         "config": cfg_tag,
         "dispatch_loop_steps_per_sec": round(steps_per_sec, 2),
@@ -531,6 +583,9 @@ def main():
         "social_vs_baseline": round(social_sps / social_baseline, 2),
         "rollout_agent_steps_per_sec": round(agent_steps, 1),
         "baseline_reference_real_steps_per_sec": round(baseline, 3),
+        "baseline_reference_same_day": same_day,
+        "baseline_reference_measurements":
+            cache.get("reference_real_measurements", []),
         "baseline_torch_social_proxy_steps_per_sec": round(social_baseline,
                                                            3),
     }

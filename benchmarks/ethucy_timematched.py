@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--agent-frame", action="store_true",
                     help="A/B the agent-centric canonical frames on the "
                          "LOO protocol (cfg.agent_frame)")
+    ap.add_argument("--use-social", action="store_true",
+                    help="A/B the social attention pooling "
+                         "(cfg.use_social; composes with --agent-frame — "
+                         "world-frame pairwise geometry, canonical h)")
     args = ap.parse_args()
 
     folds = prepare_folds(args.dir)
@@ -78,7 +82,8 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
     from socialways_tpu.engine.trainer import Trainer
 
     cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed,
-                      agent_frame=args.agent_frame)
+                      agent_frame=args.agent_frame,
+                      use_social=args.use_social)
     ds = load_npz_dataset(fold_npz)
     trainer = Trainer(cfg, ds)
     state = trainer.init_state()
