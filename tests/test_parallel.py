@@ -311,6 +311,37 @@ def test_dp_step_matches_single_device_bigbatch_exactly(mesh):
         dp_state.d_params, sd_state.d_params)
 
 
+def test_dp_step_agent_frame_social_matches_single_device(mesh):
+    """agent_frame × use_social under 8-way DP == the single-device step:
+    the world-frame social states are captured per shard from its own rows
+    (row-aligned with the canonicalization), so the composition must shard
+    transparently."""
+    cfg = CFG.replace(agent_frame=True, use_social=True)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _global_batch(8, key=13)
+    # scene ids must be globally unique per shard: _global_batch repeats
+    # them across shards, and the single-device run would then pool
+    # attention ACROSS shard boundaries that DP cannot see
+    ids = np.asarray(batch["scene_ids"]).reshape(8, -1)
+    ids = ids + 100 * np.arange(8)[:, None]
+    batch = dict(batch, scene_ids=jnp.asarray(ids.reshape(-1)))
+    rng = jax.random.PRNGKey(21)
+
+    step = make_dp_train_step(cfg, mesh)
+    dp_state, dp_m = step(state, batch, rng)
+    sd_state, sd_m = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg))(
+        state, batch, rng)
+
+    np.testing.assert_allclose(float(dp_m.g_loss), float(sd_m.g_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(dp_m.d_loss), float(sd_m.d_loss),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        dp_state.g_params, sd_state.g_params)
+
+
 def test_dp_step_matches_single_device_with_uneven_padding(mesh):
     """Count-weighted grad pmean: param updates still equal the
     single-device big-batch step when shards carry different padding."""
