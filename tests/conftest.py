@@ -41,11 +41,32 @@ def toy_npz(tmp_path_factory, toy_arrays):
 # ---------------------------------------------------------------- markers
 # Module-level markers: every test_parallel test exercises the 8-device
 # mesh; every test_kernels test runs Pallas in interpret mode.  The slow
-# set was measured from a full --durations=0 run (2026-08-18, 1-core box):
-# each listed test took >9 s there; `pytest -m "not slow"` is the <5-min
-# iteration default, the full suite stays the CI/verify gate.
+# set was measured from full --durations=0 runs (2026-08-18 and
+# 2026-08-19, 1-core box): each listed test took >9 s there; `pytest -m
+# "not slow"` is the <5-min iteration default, the full suite stays the
+# CI/verify gate.  Round-4 additions: the heavy per-lever parity guards
+# (mb_std/ms/ds/serial/unroll-ratio DP parity, crowd-sim sharding parity,
+# kernel-vs-kernel A/Bs) — each protects a measured-negative or
+# rarely-touched lever; the fast set keeps one representative of every
+# feature axis (e.g. the af×social composition smoke subsumes the plain
+# agent-frame isometry-invariance property).
 _SLOW = {
     "test_auto_discovery_prepares_and_runs_loo",
+    "test_gan_step_loss_invariant_under_isometry",
+    "test_dp_step_mb_std_matches_single_device",
+    "test_diversity_hinge_tau_gates_the_term",
+    "test_social_composition_grad_accum_parity",
+    "test_dp_step_mode_seeking_matches_single_device",
+    "test_gan_step_mode_seeking_trains_and_pressures_diversity",
+    "test_gan_step_mb_std_trains_and_shapes",
+    "test_serial_rollout_matches_shared_vjp",
+    "test_d_update_every_skips_d_phase",
+    "test_chunked_pallas_matches_windowed_xla_fwd_and_grads",
+    "test_ring_crowd_sim_equals_single_device",
+    "test_sharded_crowd_sim_equals_single_device",
+    "test_sharded_social_context_equals_single_device",
+    "test_windowed_small_input_falls_back",
+    "test_dp_step_agent_frame_social_matches_single_device",
     "test_bf16_eval_chunk_close_to_f32",
     "test_bf16_gan_step_keeps_f32_master_state",
     "test_bf16_gan_step_tracks_f32_dynamics",
