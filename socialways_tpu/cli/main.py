@@ -43,6 +43,14 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "geometry stays world-frame)")
     p.add_argument("--no-info-loss", action="store_true")
     p.add_argument("--info-weight", type=float, default=0.5)
+    p.add_argument("--info-weight-end", type=float, default=0.0,
+                   help="ramp the info weight linearly from --info-weight "
+                        "to this over --info-weight-steps GAN steps — "
+                        "anchors the code-to-mode assignment harder as "
+                        "training progresses (the measured dip mechanism "
+                        "is a G-side code remap; benchmarks/dip_diagnosis*)"
+                        " (0 = constant, reference parity)")
+    p.add_argument("--info-weight-steps", type=int, default=0)
     p.add_argument("--n-latent-codes", type=int, default=2)
     p.add_argument("--latent-code", default="continuous",
                    choices=["continuous", "categorical"],
@@ -263,6 +271,8 @@ def _cfg_from_args(args) -> "TrainConfig":
         agent_frame=getattr(args, "agent_frame", False),
         use_info_loss=not args.no_info_loss,
         loss_info_w=args.info_weight,
+        loss_info_w_end=getattr(args, "info_weight_end", 0.0),
+        loss_info_w_steps=getattr(args, "info_weight_steps", 0),
         n_latent_codes=args.n_latent_codes,
         latent_code_type=getattr(args, "latent_code", "continuous"),
         noise_dist=getattr(args, "noise_dist", "uniform"),

@@ -86,6 +86,17 @@ class TrainConfig:
     n_unrolling_steps: int = 1
     use_info_loss: bool = True
     loss_info_w: float = 0.5
+    # Info-weight SCHEDULE: ramp the InfoGAN weight linearly from
+    # loss_info_w to loss_info_w_end over loss_info_w_steps GAN steps
+    # (then hold).  Mechanism-driven lever for the transient global
+    # one-mode dips (benchmarks/dip_diagnosis*): the dips are G-side
+    # code→mode REMAPS (Q accuracy stays 1.0, D margins stay modest,
+    # the code map flips with one mode share collapsing) — raising the
+    # info anchor as training progresses makes migrating an established
+    # code→mode assignment increasingly expensive while leaving early
+    # exploration free.  0 = no schedule (reference parity).
+    loss_info_w_end: float = 0.0
+    loss_info_w_steps: int = 0
     n_latent_codes: int = 2
     # "continuous" (reference parity): Q-head regresses the first
     # n_latent_codes noise dims with MSE (train.py:485,516).

@@ -293,6 +293,17 @@ def gan_step(
 
     obsv_4d, pred_4d = get_traj_4d(obsv, pred)
 
+    # info-weight schedule (config.loss_info_w_end): linear ramp from
+    # loss_info_w to loss_info_w_end over loss_info_w_steps GAN steps —
+    # a traced scalar, so one compiled step serves the whole ramp
+    if cfg.loss_info_w_end > 0 and cfg.loss_info_w_steps > 0:
+        _step = _g_step_count(state.g_opt).astype(dtype)
+        frac = jnp.minimum(1.0, _step / cfg.loss_info_w_steps)
+        info_w = cfg.loss_info_w + (cfg.loss_info_w_end
+                                    - cfg.loss_info_w) * frac
+    else:
+        info_w = cfg.loss_info_w
+
     def rollout_on(g_params, obsv_, z, sids, social_states=None):
         out = generator_rollout(cast(g_params), cast(obsv_), cast(z),
                                 cfg.n_next, sids, cfg.use_social,
@@ -479,7 +490,7 @@ def gan_step(
         gv = group_valid(valid_)
         loss = lsgan_d_loss(fake_label, real_label, fake_code, noise_,
                             valid_, zeros_, ones_, cfg.use_info_loss,
-                            cfg.loss_info_w, cfg.n_latent_codes,
+                            info_w, cfg.n_latent_codes,
                             cfg.latent_code_type, label_valid=gv,
                             w_label=w_label, w_info=w_rest)
         if cfg.r1_gamma > 0:
@@ -581,7 +592,7 @@ def gan_step(
         gen_label = gen_label.astype(dtype)
         gen_code = gen_code.astype(dtype)
         loss = lsgan_g_loss(gen_label, gen_code, noise, valid, ones_t,
-                            cfg.use_info_loss, cfg.loss_info_w,
+                            cfg.use_info_loss, info_w,
                             cfg.n_latent_codes, cfg.latent_code_type,
                             label_valid=group_valid(valid))
         if cfg.use_l2_loss:
@@ -660,7 +671,7 @@ def gan_step(
             loss = lsgan_g_loss(gen_label.astype(dtype),
                                 gen_code.astype(dtype), cb["noise"],
                                 cb["valid"], cb["ones"], cfg.use_info_loss,
-                                cfg.loss_info_w, cfg.n_latent_codes,
+                                info_w, cfg.n_latent_codes,
                                 cfg.latent_code_type,
                                 label_valid=group_valid(cb["valid"]),
                                 w_label=wp, w_info=ws)

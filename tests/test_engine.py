@@ -1102,3 +1102,37 @@ def test_diversity_hinge_tau_gates_the_term():
         jax.tree_util.tree_map(lambda a, b: a - b, s_k4.g_params,
                                s_hot.g_params), 0.0)
     assert k_diff > 0
+
+
+def test_info_weight_schedule():
+    """Info-weight ramp (cfg.loss_info_w_end): a flat ramp (end == start)
+    reproduces the unscheduled step exactly; a rising ramp changes the G
+    loss at step 0 only through the (tiny) start-fraction difference —
+    and after advancing the optimizer clock the scheduled step's info
+    term visibly grows."""
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = _batch(key=3)
+    rng = jax.random.PRNGKey(5)
+
+    base = CFG.replace(loss_info_w=1.0)
+    flat = CFG.replace(loss_info_w=1.0, loss_info_w_end=1.0,
+                       loss_info_w_steps=100)
+    _, m_base = gan_step(state, batch, rng, base)
+    _, m_flat = gan_step(state, batch, rng, flat)
+    np.testing.assert_allclose(float(m_base.g_loss), float(m_flat.g_loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_base.d_loss), float(m_flat.d_loss),
+                               rtol=1e-6)
+
+    # advance 3 steps under the ramp, then compare a scheduled vs
+    # constant-weight step from the SAME state: the ramp is at
+    # 1 + (5-1)*3/4 = 4.0, so the info parts of the losses must differ
+    ramp = CFG.replace(loss_info_w=1.0, loss_info_w_end=5.0,
+                       loss_info_w_steps=4)
+    st = state
+    for i in range(3):
+        st, _ = gan_step(st, batch, jax.random.fold_in(rng, i), ramp)
+    _, m_ramp = gan_step(st, batch, rng, ramp)
+    _, m_const = gan_step(st, batch, rng, base)
+    assert abs(float(m_ramp.g_loss) - float(m_const.g_loss)) > 1e-4
+    assert np.isfinite(float(m_ramp.g_loss))
