@@ -23,4 +23,18 @@ run 2 7200 "small-toy 40k af+social ensemble x8 seeds" \
     --seeds 0,1,2,3,4,5,6,7 --steps 40000 --block 2000 --auto-recover \
     --overrides '{"d_input_noise": 0.05, "d_input_noise_steps": 40000, "agent_frame": true, "use_social": true}' \
     --out benchmarks/coverage_ensemble_r4_small40k_afsocial.json
+#  3-4. af + generator EMA: the dip diagnosis found LATE dips are
+#  within-code ANGLE DRIFT (code map intact, Q acc 1.0, D margin ~0 —
+#  a limit-cycle oscillation with no restoring force at equilibrium);
+#  evaluating the EMA generator time-averages the oscillation out.
+run 3 7200 "small-toy 40k af+ema0.999 ensemble x8 seeds" \
+    python benchmarks/coverage_ensemble.py --toy small \
+    --seeds 0,1,2,3,4,5,6,7 --steps 40000 --block 2000 --auto-recover \
+    --overrides '{"d_input_noise": 0.05, "d_input_noise_steps": 40000, "agent_frame": true, "g_ema_decay": 0.999}' \
+    --out benchmarks/coverage_ensemble_r4_small40k_af_ema.json
+run 4 7200 "big-toy 40k af+ema0.999 ensemble x8 seeds" \
+    python benchmarks/coverage_ensemble.py --toy big \
+    --seeds 0,1,2,3,4,5,6,7 --steps 40000 --block 2000 --auto-recover \
+    --overrides '{"d_input_noise": 0.05, "d_input_noise_steps": 40000, "agent_frame": true, "g_ema_decay": 0.999}' \
+    --out benchmarks/coverage_ensemble_r4_big40k_af_ema.json
 echo "=== r4d done $(date)" | tee -a "$LOG"

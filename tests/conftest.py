@@ -68,6 +68,7 @@ _SLOW = {
     "test_windowed_small_input_falls_back",
     "test_dp_step_agent_frame_social_matches_single_device",
     "test_info_weight_schedule",
+    "test_crowd_simulate_agent_frame_equivariance",
     "test_bf16_eval_chunk_close_to_f32",
     "test_bf16_gan_step_keeps_f32_master_state",
     "test_bf16_gan_step_tracks_f32_dynamics",

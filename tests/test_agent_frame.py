@@ -206,6 +206,31 @@ def test_social_composition_grad_accum_parity():
         s_full.g_params, s_acc.g_params)
 
 
+def test_crowd_simulate_agent_frame_equivariance():
+    """crowd_simulate under cfg.agent_frame canonicalizes each window and
+    maps back (round-3 advisor fix: it used to feed world coordinates to
+    canonical-frame weights) — so the whole autoregressive simulation is
+    equivariant under global isometries, social attention included."""
+    from socialways_tpu.engine.simulate import crowd_simulate
+
+    cfg = CFG_SOC
+    state = init_train_state(jax.random.PRNGKey(3), cfg)
+    obsv0 = _rand_traj(n=6, t=4)
+    ids = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.int32)
+    rng = np.random.RandomState(2)
+    noise = jnp.asarray(
+        rng.rand(2, 6, cfg.noise_len).astype(np.float32))  # 2 windows
+
+    base = crowd_simulate(eval_params(state), obsv0, ids, 2,
+                          jax.random.PRNGKey(0), cfg, noise=noise)
+    theta, shift = 0.8, (2.0, -1.5)
+    rot = crowd_simulate(eval_params(state), _rot(obsv0, theta, shift),
+                         ids, 2, jax.random.PRNGKey(0), cfg, noise=noise)
+    np.testing.assert_allclose(np.asarray(rot),
+                               np.asarray(_rot(base, theta, shift)),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_zero_displacement_falls_back_to_identity():
     obsv = jnp.zeros((3, 4, 2), jnp.float32)   # stationary agents
     frame = agent_frame_of(obsv)
