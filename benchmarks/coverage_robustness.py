@@ -265,6 +265,31 @@ RECIPES = {
                            "--d-input-noise", "0.05",
                            "--d-input-noise-steps", "40000",
                            "--agent-frame"],
+    # round-4 dip-mechanism fix levers (benchmarks/dip_diagnosis*): the
+    # info ramp anchors the code→mode map against early REMAPS; the EMA
+    # generator time-averages the late within-code angle-drift
+    # oscillation out of eval
+    "robust1+inoise2+af+infosched": [
+        "--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+        "--auto-recover", "--block-size", "1000",
+        "--info-weight", "1.0", "--info-weight-end", "3.0",
+        "--info-weight-steps", "40000",
+        "--d-input-noise", "0.05", "--d-input-noise-steps", "40000",
+        "--agent-frame"],
+    "robust1+inoise2+af+ema": [
+        "--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+        "--auto-recover", "--block-size", "1000",
+        "--info-weight", "1.0", "--g-ema-decay", "0.999",
+        "--d-input-noise", "0.05", "--d-input-noise-steps", "40000",
+        "--agent-frame"],
+    # round-4: the composition (accuracy winner on the LOO A/B) on the
+    # toy coverage protocol
+    "robust1+inoise2+af+social": [
+        "--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+        "--auto-recover", "--block-size", "1000",
+        "--info-weight", "1.0", "--use-social",
+        "--d-input-noise", "0.05", "--d-input-noise-steps", "40000",
+        "--agent-frame"],
     # af composes with the global diversity levers: agent frames make
     # collapse all-or-nothing GLOBAL (measured: the af seed-1 final dip is
     # one mode lost uniformly across every condition, flat in K), which is

@@ -19,6 +19,46 @@ import re
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _recipe_name(ov: dict) -> str:
+    """Canonical recipe name from ensemble overrides, matching the
+    coverage_robustness RECIPES naming — so the 8-seed protocol's
+    ensemble rows (seeds 3-7) MERGE with the cli-train rows (seeds 0-2)
+    instead of appearing as opaque JSON keys."""
+    parts = ["robust1"]
+    if ov.get("loss_info_w", 1.0) == 2.0:
+        parts.append("info2")
+    if ov.get("d_input_noise") == 0.05 and ov.get("d_input_noise_steps"):
+        parts.append("inoise2")
+    elif ov.get("d_input_noise"):
+        parts.append("inoise")
+    if ov.get("agent_frame"):
+        parts.append("af")
+    if ov.get("use_social"):
+        parts.append("social")
+    if ov.get("mb_std"):
+        parts.append("mbstd")
+    if ov.get("hidden_size") == 128:
+        parts.append("h128")
+    if ov.get("g_ema_decay"):
+        parts.append("ema")
+    if ov.get("loss_info_w_end"):
+        parts.append("infosched")
+    if ov.get("ms_weight"):
+        parts.append("ms")
+    if ov.get("ds_weight"):
+        parts.append("ds")
+    known = {"loss_info_w", "d_input_noise", "d_input_noise_steps",
+             "agent_frame", "use_social", "mb_std", "hidden_size",
+             "g_ema_decay", "loss_info_w_end", "loss_info_w_steps",
+             "ms_weight", "ds_weight", "ds_tau", "ds_k", "lr_d",
+             "d_lr_decay_rate", "d_lr_decay_steps",
+             "social_feature_size", "noise_len"}
+    extra = sorted(set(ov) - known)
+    if extra:
+        parts.append("?" + ",".join(extra))
+    return "+".join(parts)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--glob", default="", help="substring filter on filenames")
@@ -36,8 +76,7 @@ def main():
             continue
         if "seeds" in data:  # ensemble artifact
             toy = data.get("toy", "?")
-            recipe = "ensemble:" + json.dumps(data.get("overrides", {}),
-                                              sort_keys=True)[:60]
+            recipe = _recipe_name(data.get("overrides", {}))
             for seed, r in data["seeds"].items():
                 rows.setdefault((toy, recipe), {})[int(seed)] = (
                     r.get("final_coverage"), r.get("mean_last5_coverage"),
