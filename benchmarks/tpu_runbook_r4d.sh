@@ -37,4 +37,9 @@ run 4 7200 "big-toy 40k af+ema0.999 ensemble x8 seeds" \
     --seeds 0,1,2,3,4,5,6,7 --steps 40000 --block 2000 --auto-recover \
     --overrides '{"d_input_noise": 0.05, "d_input_noise_steps": 40000, "agent_frame": true, "g_ema_decay": 0.999}' \
     --out benchmarks/coverage_ensemble_r4_big40k_af_ema.json
+#  5. flagship-at-scale: agent-frame cost inside the fused crowd-sim
+#     program at 131k agents (should be ~free — elementwise O(N))
+run 5 3600 "crowd sim af A/B 131k agents" \
+    python benchmarks/crowd_sim_af_ab.py --agents 131072 --windows 4 \
+    --out benchmarks/crowd_sim_af_ab_r4.json
 echo "=== r4d done $(date)" | tee -a "$LOG"
