@@ -102,7 +102,7 @@ def main():
 
     nt = ds.n_train_samples
     obs = jnp.asarray(ds.obsvs[nt:])
-    ids = jnp.zeros((obs.shape[0],), jnp.int32)
+    ids = jnp.asarray(ds.scene_ids_for_rows(nt, obs.shape[0]))
     obs_w = ds.scale.denormalize(np.asarray(obs))
     cond = condition_groups(obs_w)
 

@@ -53,7 +53,7 @@ def score(ckpt: str, data: str, info_weight: float, k: int,
 
     nt = ds.n_train_samples
     obs = jnp.asarray(ds.obsvs[nt:])
-    ids = jnp.zeros((obs.shape[0],), jnp.int32)
+    ids = jnp.asarray(ds.scene_ids_for_rows(nt, obs.shape[0]))
     pk = k_sample_rollout(eval_params(state), obs, ids,
                           jax.random.PRNGKey(123), k, cfg)
     obs_w = ds.scale.denormalize(np.asarray(obs))

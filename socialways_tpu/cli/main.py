@@ -579,7 +579,7 @@ def _eval_coverage(trainer, state, ds, cfg, rng) -> float:
 
     nt = ds.n_train_samples
     obs = jnp.asarray(ds.obsvs[nt:nt + 64])
-    ids = jnp.zeros((obs.shape[0],), jnp.int32)
+    ids = jnp.asarray(ds.scene_ids_for_rows(nt, obs.shape[0]))
     from socialways_tpu.engine.train_step import eval_params
     pk = k_sample_rollout(eval_params(state), obs, ids,
                           jax.random.fold_in(rng, 99), cfg.n_gen_samples,
@@ -698,7 +698,7 @@ def cmd_sweep(args) -> int:
             # mode coverage over the test portion
             nt = ds.n_train_samples
             obs = jnp.asarray(ds.obsvs[nt:nt + 64])
-            ids = jnp.zeros((obs.shape[0],), jnp.int32)
+            ids = jnp.asarray(ds.scene_ids_for_rows(nt, obs.shape[0]))
             rng, sub = jax.random.split(rng)
             from socialways_tpu.engine.train_step import eval_params
             pk = k_sample_rollout(eval_params(state), obs, ids, sub,

@@ -65,6 +65,23 @@ class TrajectoryDataset:
         train.py:121."""
         return self.scale.sx
 
+    def scene_ids_for_rows(self, start: int, count: int) -> np.ndarray:
+        """Per-sample scene ids for rows [start, start+count), derived
+        from the npz scene-batch ranges.
+
+        Rows outside every batch get -1 (treated as padding by the social
+        mask).  Use this wherever an eval slice feeds a use_social model —
+        a zeros placeholder would pool attention over ONE giant scene of
+        every eval agent, which is not the scene structure the model
+        trained on (the bug this helper fixed in the round-4 coverage
+        evals)."""
+        ids = np.full(count, -1, np.int32)
+        for b, (s, e) in enumerate(self.batches):
+            lo, hi = max(int(s), start), min(int(e), start + count)
+            if lo < hi:
+                ids[lo - start:hi - start] = b
+        return ids
+
 
 def load_npz_dataset(path: str) -> TrajectoryDataset:
     data = np.load(path)

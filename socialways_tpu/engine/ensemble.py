@@ -177,11 +177,14 @@ class EnsembleTrainer:
         self._check_members(rngs.shape[0])
         nt = ds.n_train_samples
         obs = jnp.asarray(ds.obsvs[nt:nt + n_samples])
+        # real test scene structure (matters for use_social evals — a
+        # zeros placeholder would pool one giant scene)
+        ids = jnp.asarray(ds.scene_ids_for_rows(nt, obs.shape[0]))
         cache_key = ("cov", obs.shape[0])
         if cache_key not in self._eval_v:
             fn = jax.vmap(
                 lambda p, key, ob: k_sample_rollout(
-                    p, ob, jnp.zeros((ob.shape[0],), jnp.int32), key,
+                    p, ob, ids, key,
                     cfg.n_gen_samples, cfg),
                 in_axes=(0, 0, None))
             self._eval_v[cache_key] = jax.jit(

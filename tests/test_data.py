@@ -279,3 +279,22 @@ def test_seyfried_parser_and_interval(tmp_path):
     assert p.actual_fps == pytest.approx(16 / 4)
     # finite-difference velocity: 0.4 m over 4 frames at 16 fps = 1.6 m/s
     np.testing.assert_allclose(v_data[0][1][0], 0.4 * 16 / 4, rtol=1e-6)
+
+
+def test_scene_ids_for_rows():
+    """Eval-slice scene ids must reproduce the npz batch structure (a
+    zeros placeholder would pool social attention over one giant scene —
+    the round-4 coverage-eval bug)."""
+    from socialways_tpu.data.dataset import TrajectoryDataset
+    from socialways_tpu.data.scale import Scale
+
+    batches = np.array([[0, 3], [3, 5], [5, 9]], np.int64)
+    ds = TrajectoryDataset(obsvs=np.zeros((9, 2, 2), np.float32),
+                           preds=np.zeros((9, 2, 2), np.float32),
+                           times=np.arange(9), batches=batches,
+                           scale=Scale(), train_size=2)
+    np.testing.assert_array_equal(ds.scene_ids_for_rows(0, 9),
+                                  [0, 0, 0, 1, 1, 2, 2, 2, 2])
+    # a mid-batch slice keeps its batch id; rows past the end are -1
+    np.testing.assert_array_equal(ds.scene_ids_for_rows(4, 7),
+                                  [1, 2, 2, 2, 2, -1, -1])
