@@ -45,6 +45,10 @@ def main():
                     help="A/B the social attention pooling "
                          "(cfg.use_social; composes with --agent-frame — "
                          "world-frame pairwise geometry, canonical h)")
+    ap.add_argument("--overrides", default="{}",
+                    help="JSON dict of extra TrainConfig overrides "
+                         "(e.g. '{\"g_ema_decay\": 0.999}') — same "
+                         "convention as coverage_ensemble.py")
     args = ap.parse_args()
 
     folds = prepare_folds(args.dir)
@@ -83,7 +87,8 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
 
     cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed,
                       agent_frame=args.agent_frame,
-                      use_social=args.use_social)
+                      use_social=args.use_social,
+                      **json.loads(args.overrides))
     ds = load_npz_dataset(fold_npz)
     trainer = Trainer(cfg, ds)
     state = trainer.init_state()
