@@ -555,9 +555,12 @@ def main():
     bf16_sps = _bench_ours_scanned(compute_dtype="bfloat16")
     social_sps = _bench_ours_scanned(n_steps=2000, use_social=True)
     agent_steps = _bench_rollout_agent_steps()
-    baseline = get_reference_baseline()          # fastest dated measurement
+    # Same-day re-measure FIRST so the conservative "fastest ever" max
+    # includes today's entry (and a fresh cache pays ONE reference run,
+    # not two — round-4 review finding).
     cache = _load_baseline_cache()
     same_day = measure_reference_now(cache)      # dated re-measure, may fail
+    baseline = get_reference_baseline()          # fastest dated measurement
     social_baseline = get_reference_baseline(use_social=True)
     best = max(steps_per_sec, scanned_sps, bf16_sps)
     cfg_tag = f"h{HIDDEN}-b{BATCH}-unroll1-info"

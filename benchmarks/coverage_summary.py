@@ -23,39 +23,70 @@ def _recipe_name(ov: dict) -> str:
     """Canonical recipe name from ensemble overrides, matching the
     coverage_robustness RECIPES naming — so the 8-seed protocol's
     ensemble rows (seeds 3-7) MERGE with the cli-train rows (seeds 0-2)
-    instead of appearing as opaque JSON keys."""
+    instead of appearing as opaque JSON keys.
+
+    Every override VALUE must be represented: recognized keys at their
+    canonical recipe values map to the short tags; any other value is
+    surfaced verbatim (`key=value`) so two different configurations can
+    never alias into one table row (round-4 review finding)."""
     parts = ["robust1"]
-    if ov.get("loss_info_w", 1.0) == 2.0:
+    rep = set()     # keys whose value the emitted tags fully represent
+
+    def canon(key, value, tag):
+        """Mark `key` represented when it is absent or == `value` (part of
+        the robust1 base / the named tag); emit `tag` when == value."""
+        if key not in ov:
+            rep.add(key)
+        elif ov[key] == value:
+            rep.add(key)
+            if tag:
+                parts.append(tag)
+
+    canon("lr_d", 5e-4, "")                 # robust1 base, silent
+    canon("d_lr_decay_rate", 0.7, "")
+    canon("d_lr_decay_steps", 10000, "")
+    iw = ov.get("loss_info_w", 1.0)
+    if iw == 2.0:
         parts.append("info2")
-    if ov.get("d_input_noise") == 0.05 and ov.get("d_input_noise_steps"):
-        parts.append("inoise2")
+    elif iw != 1.0:
+        parts.append(f"info{iw:g}")
+    rep.add("loss_info_w")
+    if ov.get("d_input_noise") == 0.05:
+        # steps vary with run length (40000, or -1 = whole run) — both
+        # mean "annealed over the run", the inoise2 tag
+        parts.append("inoise2" if ov.get("d_input_noise_steps")
+                     else "inoise")
+        rep.update(("d_input_noise", "d_input_noise_steps"))
     elif ov.get("d_input_noise"):
-        parts.append("inoise")
-    if ov.get("agent_frame"):
-        parts.append("af")
-    if ov.get("use_social"):
-        parts.append("social")
-    if ov.get("mb_std"):
-        parts.append("mbstd")
+        parts.append(f"inoise{ov['d_input_noise']:g}"
+                     f"x{ov.get('d_input_noise_steps', 0)}")
+        rep.update(("d_input_noise", "d_input_noise_steps"))
+    for key, tag in (("agent_frame", "af"), ("use_social", "social"),
+                     ("mb_std", "mbstd")):
+        if ov.get(key):
+            parts.append(tag)
+        rep.add(key)                        # boolean: presence == value
     if ov.get("hidden_size") == 128:
-        parts.append("h128")
-    if ov.get("g_ema_decay"):
+        parts.append("h128")                # tag names the scaled triple
+        rep.add("hidden_size")
+        canon("social_feature_size", 128, "")
+        canon("noise_len", 64, "")
+    ema = ov.get("g_ema_decay")
+    if ema == 0.999:
         parts.append("ema")
+    elif ema:
+        parts.append(f"ema{ema:g}")
+    rep.add("g_ema_decay")
     if ov.get("loss_info_w_end"):
-        parts.append("infosched")
-    if ov.get("ms_weight"):
-        parts.append("ms")
-    if ov.get("ds_weight"):
-        parts.append("ds")
-    known = {"loss_info_w", "d_input_noise", "d_input_noise_steps",
-             "agent_frame", "use_social", "mb_std", "hidden_size",
-             "g_ema_decay", "loss_info_w_end", "loss_info_w_steps",
-             "ms_weight", "ds_weight", "ds_tau", "ds_k", "lr_d",
-             "d_lr_decay_rate", "d_lr_decay_steps",
-             "social_feature_size", "noise_len"}
-    extra = sorted(set(ov) - known)
-    if extra:
-        parts.append("?" + ",".join(extra))
+        parts.append(f"infosched{ov['loss_info_w_end']:g}")
+        rep.update(("loss_info_w_end", "loss_info_w_steps"))
+    for key, tag in (("ms_weight", "ms"), ("ds_weight", "ds"),
+                     ("ds_tau", "tau"), ("ds_k", "k")):
+        if ov.get(key):
+            parts.append(f"{tag}{ov[key]:g}")
+        rep.add(key)
+    extra = sorted(set(ov) - rep)
+    parts += [f"{k}={ov[k]}" for k in extra]
     return "+".join(parts)
 
 

@@ -56,13 +56,16 @@ def main():
         params = init_generator(jax.random.PRNGKey(0), cfg)
         fn = jax.jit(lambda p, o, i, k: crowd_simulate(
             p, o, i, args.windows, k, cfg))
+        # precompute keys — per-rep PRNGKey construction inside the timed
+        # loop floods the axon tunnel (CLAUDE.md environment rules)
+        keys = [jax.random.PRNGKey(2 + r) for r in range(args.reps)]
         tic = time.perf_counter()
         out = fn(params, obsv0, ids, jax.random.PRNGKey(1))
         float(jnp.sum(out))                       # axon: force host sync
         compile_s = time.perf_counter() - tic
         tic = time.perf_counter()
         for r in range(args.reps):
-            out = fn(params, obsv0, ids, jax.random.PRNGKey(2 + r))
+            out = fn(params, obsv0, ids, keys[r])
             float(jnp.sum(out))
         per = (time.perf_counter() - tic) / args.reps
         steps = n * args.windows * cfg.n_next

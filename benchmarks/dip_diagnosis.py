@@ -50,23 +50,7 @@ TOYS = {
     "big": dict(n_conditions=8, n_samples=768, n_per_batch=8),
 }
 
-MODE_ANGLES = (-16.0, 0.0, 16.0)
-TOL_DEG = 8.0
-
-
-def classify_turns(obsvs, finals):
-    """[N] approach-relative turn angle → mode index in MODE_ANGLES or -1.
-
-    obsvs [N, n_past, 2] and finals [..., N, 2] are WORLD coords (same
-    classification as eval.stats.toy_mode_coverage)."""
-    import numpy as np
-    approach = np.degrees(np.arctan2(obsvs[:, 0, 1], obsvs[:, 0, 0]))
-    ang = np.degrees(np.arctan2(finals[..., 1], finals[..., 0]))
-    turn = (ang - approach + 180.0) % 360.0 - 180.0
-    mode = np.full(turn.shape, -1, np.int32)
-    for mi, m in enumerate(MODE_ANGLES):
-        mode = np.where(np.abs(turn - m) < TOL_DEG, mi, mode)
-    return mode
+N_MODES = 3   # toy turn modes; classification itself lives in eval.stats
 
 
 def main():
@@ -98,12 +82,13 @@ def main():
     from socialways_tpu.engine.trainer import Trainer
     from socialways_tpu.engine.train_step import eval_params
     from socialways_tpu.eval.metrics import k_sample_rollout
-    from socialways_tpu.eval.stats import toy_mode_coverage
+    from socialways_tpu.eval.stats import toy_mode_coverage, toy_turn_modes
     from socialways_tpu.models.discriminator import discriminator_apply
     from socialways_tpu.models.generator import (decode_rollout,
                                                  prepare_rollout)
     from socialways_tpu.ops.traj import (agent_frame_of, from_agent_frame_4d,
-                                         get_traj_4d, to_agent_frame)
+                                         get_traj_4d, obsv_to_4d,
+                                         to_agent_frame)
 
     with tempfile.TemporaryDirectory(prefix="dipdiag_") as td:
         npz = os.path.join(td, "toy.npz")
@@ -129,15 +114,21 @@ def main():
     n_eval = min(args.test_slice, len(ds.obsvs) - nt)
     obs = jnp.asarray(ds.obsvs[nt:nt + n_eval])
     pred_gt = jnp.asarray(ds.preds[nt:nt + n_eval])
-    ids = jnp.zeros((n_eval,), jnp.int32)
+    # real test scene structure — a zeros placeholder would pool social
+    # attention over ONE giant scene (the round-4 coverage-eval bug)
+    ids = jnp.asarray(ds.scene_ids_for_rows(nt, n_eval))
     obs_w = ds.scale.denormalize(np.asarray(obs))     # world, for classify
     n_codes = cfg.n_latent_codes
 
     def forced_code_rollouts(g_params, key):
         """Rollouts with the categorical code FORCED per leading index
         (sample_noise layout: one-hot in the first n_codes dims, uniform
-        elsewhere).  Returns (canonical [n_codes, K, N, T, 4] — the exact
-        tensors D sees in training — world-frame same shape, noise)."""
+        elsewhere).  Returns (model-frame [n_codes, K, N, T, 4] — the
+        exact tensors D sees in training — world-frame same shape, noise).
+
+        Mirrors eval.metrics.k_sample_rollout's agent_frame × use_social
+        composition: pairwise social geometry from WORLD-frame last-obs
+        states, encode/decode I/O per-agent canonical."""
         z = jax.random.uniform(key, (n_codes, args.k, n_eval,
                                      cfg.noise_len), obs.dtype)
         eye = jnp.eye(n_codes, dtype=obs.dtype)
@@ -145,23 +136,34 @@ def main():
             [jnp.broadcast_to(eye[:, None, None, :],
                               (n_codes, args.k, n_eval, n_codes)),
              z[..., n_codes:]], axis=-1)
-        frame = agent_frame_of(obs)
-        obs_c = to_agent_frame(obs, frame)
-        prep = prepare_rollout(g_params, obs_c, ids, cfg.use_social)
-        out_c = jax.vmap(jax.vmap(
+        if cfg.agent_frame:
+            social_x4 = obsv_to_4d(obs)[:, -1] if cfg.use_social else None
+            frame = agent_frame_of(obs)
+            obs_in = to_agent_frame(obs, frame)
+        else:
+            social_x4, frame, obs_in = None, None, obs
+        prep = prepare_rollout(g_params, obs_in, ids, cfg.use_social,
+                               cfg.use_pallas, cfg.max_scene_size,
+                               social_states=social_x4)
+        out_m = jax.vmap(jax.vmap(
             lambda zz: decode_rollout(g_params, prep, zz, cfg.n_next,
                                       cfg.decoder)))(z)
-        return out_c, from_agent_frame_4d(out_c, frame), z
+        out_w = (from_agent_frame_4d(out_m, frame) if cfg.agent_frame
+                 else out_m)
+        return out_m, out_w, z
 
     def d_margins(st, key):
         """Mean D(real), D(fake) labels + Q accuracy on the eval slice, in
-        the canonical coordinates D trains in."""
-        frame = agent_frame_of(obs)
-        obs_c = to_agent_frame(obs, frame)
-        pred_c = to_agent_frame(pred_gt, frame)
+        the coordinates D trains in (canonical under agent_frame)."""
+        if cfg.agent_frame:
+            frame = agent_frame_of(obs)
+            obs_c = to_agent_frame(obs, frame)
+            pred_c = to_agent_frame(pred_gt, frame)
+        else:
+            obs_c, pred_c = obs, pred_gt
         obsv_4d, pred_4d = get_traj_4d(obs_c, pred_c)
-        out_c, out_w, z = forced_code_rollouts(eval_params(st), key)
-        fake_4d = out_c.reshape(-1, cfg.n_next, 4)
+        out_m, out_w, z = forced_code_rollouts(eval_params(st), key)
+        fake_4d = out_m.reshape(-1, cfg.n_next, 4)
         obsv_4d_rep = jnp.tile(obsv_4d, (n_codes * args.k, 1, 1))
         real_lbl, _ = discriminator_apply(st.d_params, obsv_4d, pred_4d)
         fake_lbl, code_hat = discriminator_apply(st.d_params, obsv_4d_rep,
@@ -197,14 +199,14 @@ def main():
         real_m, fake_m, q_acc, rolls = margins_fn(state, k2)
         finals = ds.scale.denormalize(
             np.asarray(rolls[..., :2]))[..., -1, :]   # [codes, K, N, 2]
-        modes = classify_turns(obs_w, finals)         # [codes, K, N]
-        hist = np.zeros((n_codes, len(MODE_ANGLES) + 1), np.int64)
+        modes = toy_turn_modes(obs_w, finals)         # [codes, K, N]
+        hist = np.zeros((n_codes, N_MODES + 1), np.int64)
         for c in range(n_codes):
             vals, cnts = np.unique(modes[c], return_counts=True)
             for v, ct in zip(vals, cnts):
-                hist[c, v if v >= 0 else len(MODE_ANGLES)] = ct
-        code_map = hist[:, :len(MODE_ANGLES)].argmax(axis=1).tolist()
-        mode_mass = hist[:, :len(MODE_ANGLES)].sum(axis=0)
+                hist[c, v if v >= 0 else N_MODES] = ct
+        code_map = hist[:, :N_MODES].argmax(axis=1).tolist()
+        mode_mass = hist[:, :N_MODES].sum(axis=0)
         mode_share = (mode_mass / max(mode_mass.sum(), 1)).round(4).tolist()
         rec = {
             "step": done * spe,

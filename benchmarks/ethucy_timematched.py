@@ -85,10 +85,13 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
     from socialways_tpu.data.dataset import load_npz_dataset
     from socialways_tpu.engine.trainer import Trainer
 
-    cfg = TrainConfig(n_epochs=args.epochs, seed=args.seed,
-                      agent_frame=args.agent_frame,
-                      use_social=args.use_social,
-                      **json.loads(args.overrides))
+    # --overrides wins over the flag-derived kwargs (a dict merge, not
+    # duplicate keywords — '{"seed": 1}' must not TypeError)
+    kwargs = dict(n_epochs=args.epochs, seed=args.seed,
+                  agent_frame=args.agent_frame,
+                  use_social=args.use_social)
+    kwargs.update(json.loads(args.overrides))
+    cfg = TrainConfig(**kwargs)
     ds = load_npz_dataset(fold_npz)
     trainer = Trainer(cfg, ds)
     state = trainer.init_state()

@@ -125,9 +125,15 @@ def _launch(num_processes: int, steps: int,
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True,
                                       cwd=REPO))
+    # Drain ALL children concurrently: a sequential communicate() leaves
+    # the later children's pipes unread, and a warning burst past the
+    # ~64KB pipe buffer would deadlock child N (blocked on write) against
+    # child 0 (blocked in the collective waiting for N).
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(len(procs)) as ex:
+        raw = list(ex.map(lambda p: p.communicate(timeout=900)[0], procs))
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
+    for p, out in zip(procs, raw):
         if p.returncode != 0:
             raise RuntimeError(f"child rc={p.returncode}:\n{out[-4000:]}")
         rec = [ln for ln in out.splitlines()

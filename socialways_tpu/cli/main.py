@@ -391,17 +391,12 @@ def cmd_train(args) -> int:
         mesh = (make_mesh_2d(n_dcn, n_ici) if n_dcn
                 else make_mesh(need))
     trainer = Trainer(cfg, ds, mesh=mesh)
-    cfg = trainer.cfg  # n_past/n_next filled from data
     if cfg.d_input_noise_steps < 0:
-        # -1 = anneal over the whole planned run.  The sigma schedule is
-        # keyed on OPTIMIZER steps, and on a mesh each epoch performs only
-        # n_steps_per_epoch synchronized DP steps (~n_chunks/N) — counting
-        # raw chunks would leave sigma at ~(1-1/N)·sigma0 at run end.
-        total = cfg.n_epochs * trainer.n_steps_per_epoch
-        cfg = cfg.replace(d_input_noise_steps=total)
-        trainer = Trainer(cfg, ds, mesh=mesh)
-        cfg = trainer.cfg
-        print(f"instance-noise anneal over the full run: {total} GAN steps")
+        # Trainer resolves the -1 sentinel (anneal over the whole planned
+        # run, counted in mesh-aware OPTIMIZER steps).
+        print(f"instance-noise anneal over the full run: "
+              f"{trainer.cfg.d_input_noise_steps} GAN steps")
+    cfg = trainer.cfg  # n_past/n_next filled from data; -1 anneal resolved
 
     model_file = os.path.join(cfg.model_dir,
                               f"{args.model}-{cfg.dataset}.npz")

@@ -109,18 +109,10 @@ class Trainer:
         else:
             self.test_packed = None
 
-        cfg_static = self.cfg
         if mesh is None:
             self._train_dev = _packed_to_device(self.train_packed)
             self._test_dev = (_packed_to_device(self.test_packed)
                               if self.test_packed else None)
-            self._step = jax.jit(
-                functools.partial(gan_step, cfg=cfg_static))
-            self._epoch = jax.jit(self._epoch_fn)
-            self._epochs = jax.jit(self._epochs_fn, static_argnames=("n",))
-            self._eval_chunk = jax.jit(
-                functools.partial(eval_chunk, cfg=cfg_static),
-                static_argnames=("k",))
         else:
             from socialways_tpu.parallel.mesh import (
                 make_dp_epoch_fn, make_dp_epochs_fn, make_dp_eval_chunk,
@@ -129,6 +121,28 @@ class Trainer:
             self._test_dev = (
                 shard_packed_for_mesh(self.test_packed, mesh)
                 if self.test_packed else None)
+
+        if self.cfg.d_input_noise_steps < 0:
+            # -1 = anneal over the whole planned run.  The sigma schedule
+            # is keyed on OPTIMIZER steps, and on a mesh each epoch
+            # performs only n_steps_per_epoch synchronized DP steps
+            # (~n_chunks/N) — counting raw chunks would leave sigma at
+            # ~(1-1/N)·sigma0 at run end.  Resolved HERE so every driver
+            # (cli train, benchmarks, EnsembleTrainer, eth-ucy) honors
+            # the sentinel identically.
+            self.cfg = self.cfg.replace(
+                d_input_noise_steps=cfg.n_epochs * self.n_steps_per_epoch)
+
+        cfg_static = self.cfg
+        if mesh is None:
+            self._step = jax.jit(
+                functools.partial(gan_step, cfg=cfg_static))
+            self._epoch = jax.jit(self._epoch_fn)
+            self._epochs = jax.jit(self._epochs_fn, static_argnames=("n",))
+            self._eval_chunk = jax.jit(
+                functools.partial(eval_chunk, cfg=cfg_static),
+                static_argnames=("k",))
+        else:
             self._step = make_dp_train_step(cfg_static, mesh)
             self._mesh_epoch, _ = make_dp_epoch_fn(cfg_static, mesh)
             self._mesh_epochs = make_dp_epochs_fn(cfg_static, mesh)

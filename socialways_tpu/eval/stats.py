@@ -157,11 +157,28 @@ def toy_mode_coverage(obsvs: np.ndarray, preds_k: np.ndarray,
 
     obsvs: [N, n_past, 2] world coords; preds_k: [K, N, T, 2] world coords.
     """
-    approach = np.degrees(np.arctan2(obsvs[:, 0, 1], obsvs[:, 0, 0]))
-    final = preds_k[..., -1, :]                                 # [K, N, 2]
-    ang = np.degrees(np.arctan2(final[..., 1], final[..., 0]))  # [K, N]
-    turn = (ang - approach[None, :] + 180.0) % 360.0 - 180.0
-    hits = np.zeros((len(mode_angles), obsvs.shape[0]), bool)
-    for mi, m in enumerate(mode_angles):
-        hits[mi] = (np.abs(turn - m) < tol_deg).any(axis=0)
+    modes = toy_turn_modes(obsvs, preds_k[..., -1, :], mode_angles, tol_deg)
+    hits = np.stack([(modes == mi).any(axis=0)
+                     for mi in range(len(mode_angles))])
     return float(hits.mean())
+
+
+def toy_turn_modes(obsvs: np.ndarray, finals: np.ndarray,
+                   mode_angles=(-16.0, 0.0, 16.0),
+                   tol_deg: float = 8.0) -> np.ndarray:
+    """Per-sample toy mode index into ``mode_angles``, -1 = off-mode.
+
+    obsvs [N, n_past, 2] and finals [..., N, 2] are WORLD coords; leading
+    axes of ``finals`` broadcast (e.g. [codes, K, N, 2]).  This is THE
+    classifier behind ``toy_mode_coverage`` — diagnostics (the dip
+    histogram in benchmarks/dip_diagnosis.py) import it so both statistics
+    always classify with identical constants.  The default angles/tol make
+    mode bands disjoint (±16° centers, 8° half-width), so assignment order
+    cannot matter."""
+    approach = np.degrees(np.arctan2(obsvs[:, 0, 1], obsvs[:, 0, 0]))
+    ang = np.degrees(np.arctan2(finals[..., 1], finals[..., 0]))
+    turn = (ang - approach + 180.0) % 360.0 - 180.0
+    mode = np.full(turn.shape, -1, np.int32)
+    for mi, m in enumerate(mode_angles):
+        mode = np.where(np.abs(turn - m) < tol_deg, mi, mode)
+    return mode

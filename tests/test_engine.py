@@ -790,6 +790,20 @@ def test_d_input_noise_perturbs_then_anneals_to_parity():
                                                 rel=1e-6)
 
 
+def test_trainer_resolves_anneal_sentinel(toy_ds):
+    """d_input_noise_steps=-1 (anneal over the whole run) is resolved by
+    Trainer itself — mesh-aware optimizer-step count — so EVERY driver
+    that builds a Trainer directly (benchmarks, EnsembleTrainer, eth-ucy)
+    gets the annealed schedule, not a constant-noise run (round-4 review
+    finding: only cli train used to resolve it)."""
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                      batch_size=64, n_epochs=3, seed=0,
+                      d_input_noise=0.05, d_input_noise_steps=-1)
+    tr = Trainer(cfg, toy_ds)
+    assert tr.cfg.d_input_noise_steps == 3 * tr.n_steps_per_epoch
+    assert tr.cfg.d_input_noise_steps > 0
+
+
 def test_d_input_noise_with_grad_accum():
     cfg = CFG.replace(d_input_noise=0.3, grad_accum=2)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
