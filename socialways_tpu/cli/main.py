@@ -21,7 +21,54 @@ import sys
 import numpy as np
 
 
+#: Documented flag bundles (BASELINE.md recipes).  --recipe NAME expands
+#: to these tokens right after the subcommand, so any explicit flag given
+#: later on the command line OVERRIDES the recipe (argparse last-wins).
+_RECIPES = {
+    # categorical codes + cooled D + divergence rescue
+    "robust1": ["--latent-code", "categorical", "--n-latent-codes", "3",
+                "--d-lr", "5e-4", "--info-weight", "1.0",
+                "--d-lr-decay-rate", "0.7", "--d-lr-decay-steps", "10000",
+                "--auto-recover"],
+}
+# robust1 + annealed D instance noise over the whole run
+_RECIPES["inoise2"] = _RECIPES["robust1"] + [
+    "--d-input-noise", "0.05", "--d-input-noise-steps", "-1"]
+# the round-4 production stack: canonical frames + the paper's social
+# attention + EMA generator on top of inoise2
+_RECIPES["flagship"] = _RECIPES["inoise2"] + [
+    "--agent-frame", "--use-social", "--g-ema-decay", "0.999"]
+
+
+def _apply_recipe(argv):
+    """Expand ``--recipe NAME`` (or ``--recipe=NAME``) into its flag
+    bundle, inserted right after the subcommand so later explicit flags
+    override it.  A recipe's store_true flags (e.g. --auto-recover)
+    cannot be switched back off by a later flag — use a thinner recipe
+    plus explicit flags instead.  Unknown names are left for argparse's
+    choices= error."""
+    argv = list(argv)
+    for i, tok in enumerate(argv):
+        if tok == "--recipe" and i + 1 < len(argv):
+            name, rest = argv[i + 1], argv[:i] + argv[i + 2:]
+        elif tok.startswith("--recipe="):
+            name, rest = tok.split("=", 1)[1], argv[:i] + argv[i + 1:]
+        else:
+            continue
+        if name not in _RECIPES:
+            return argv
+        return rest[:1] + _RECIPES[name] + rest[1:]
+    return argv
+
+
 def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--recipe", default="", choices=[""] + list(_RECIPES),
+                   help="expand a documented BASELINE.md flag bundle "
+                        "(robust1 = categorical codes + cooled D + "
+                        "auto-recover; inoise2 = + annealed D instance "
+                        "noise; flagship = + --agent-frame --use-social "
+                        "--g-ema-decay 0.999). Explicit flags given "
+                        "AFTER --recipe override the bundle")
     p.add_argument("--batch-size", "--b", type=int, default=256)
     p.add_argument("--epochs", "--e", type=int, default=1000)
     p.add_argument("--model", "--m", default="socialWays",
@@ -1038,6 +1085,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    argv = _apply_recipe(sys.argv[1:] if argv is None else argv)
     args = build_parser().parse_args(argv)
     if getattr(args, "cpu_devices", 0) and not args.cpu:
         print("--cpu-devices requires --cpu", file=sys.stderr)

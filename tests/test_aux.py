@@ -154,6 +154,26 @@ def test_fake_display_noop():
     d.show()
 
 
+def test_toy_turn_modes_classifier_broadcasts():
+    """The shared per-sample classifier behind toy_mode_coverage (also
+    imported by benchmarks/dip_diagnosis.py) classifies with -1 off-mode
+    and broadcasts leading axes of finals ([codes, K, N, 2])."""
+    from socialways_tpu.eval.stats import toy_turn_modes
+
+    n = 3
+    obsvs = np.zeros((n, 2, 2), np.float32)
+    obsvs[:, 0, 0] = 4.0          # approach angle 0
+    finals = np.zeros((2, 5, n, 2), np.float32)   # [codes, K, N, 2]
+    for d, (c, k) in [(-16, (0, 0)), (0, (0, 1)), (16, (1, 0)),
+                      (45, (1, 1))]:
+        a = np.radians(d)
+        finals[c, k, :] = [np.cos(a), np.sin(a)]
+    modes = toy_turn_modes(obsvs, finals)
+    assert modes.shape == (2, 5, n)
+    assert (modes[0, 0] == 0).all() and (modes[0, 1] == 1).all()
+    assert (modes[1, 0] == 2).all() and (modes[1, 1] == -1).all()
+
+
 def test_toy_mode_coverage_metric():
     from socialways_tpu.eval.stats import toy_mode_coverage
 

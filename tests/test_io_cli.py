@@ -206,6 +206,29 @@ def test_viz_render(tmp_path, toy_npz):
     assert im.std() > 1.0
 
 
+def test_cli_recipe_expands_and_explicit_flags_override():
+    """--recipe NAME expands the documented BASELINE.md bundle; explicit
+    flags after it win (argparse last-wins on the injected tokens)."""
+    from socialways_tpu.cli.main import (_apply_recipe, _cfg_from_args,
+                                         build_parser)
+    argv = _apply_recipe(["train", "--data", "x.npz",
+                          "--recipe", "flagship", "--info-weight", "2.0"])
+    args = build_parser().parse_args(argv)
+    cfg = _cfg_from_args(args)
+    assert cfg.latent_code_type == "categorical"
+    assert cfg.n_latent_codes == 3
+    assert cfg.lr_d == 5e-4
+    assert cfg.d_lr_decay_rate == 0.7
+    assert cfg.d_input_noise == 0.05 and cfg.d_input_noise_steps == -1
+    assert cfg.agent_frame and cfg.use_social
+    assert cfg.g_ema_decay == 0.999
+    assert args.auto_recover
+    assert cfg.loss_info_w == 2.0      # explicit flag beats the recipe
+    # --recipe=NAME form, and no-recipe argv passes through untouched
+    assert _apply_recipe(["train", "--recipe=robust1"])[1] == "--latent-code"
+    assert _apply_recipe(["train", "--b", "64"]) == ["train", "--b", "64"]
+
+
 def test_cli_anneal_horizon_counts_optimizer_steps(tmp_path, toy_npz,
                                                    capsys):
     """--d-input-noise-steps -1 anneals over OPTIMIZER steps: a --mesh N
