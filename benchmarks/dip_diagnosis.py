@@ -86,8 +86,9 @@ def main():
     from socialways_tpu.models.discriminator import discriminator_apply
     from socialways_tpu.models.generator import (decode_rollout,
                                                  prepare_rollout)
-    from socialways_tpu.ops.traj import (agent_frame_of, from_agent_frame_4d,
-                                         get_traj_4d, obsv_to_4d,
+    from socialways_tpu.ops.traj import (agent_frame_of,
+                                         canonicalize_for_rollout,
+                                         from_agent_frame_4d, get_traj_4d,
                                          to_agent_frame)
 
     with tempfile.TemporaryDirectory(prefix="dipdiag_") as td:
@@ -136,19 +137,15 @@ def main():
             [jnp.broadcast_to(eye[:, None, None, :],
                               (n_codes, args.k, n_eval, n_codes)),
              z[..., n_codes:]], axis=-1)
-        if cfg.agent_frame:
-            social_x4 = obsv_to_4d(obs)[:, -1] if cfg.use_social else None
-            frame = agent_frame_of(obs)
-            obs_in = to_agent_frame(obs, frame)
-        else:
-            social_x4, frame, obs_in = None, None, obs
+        obs_in, frame, social_x4 = canonicalize_for_rollout(
+            obs, cfg.agent_frame, cfg.use_social)
         prep = prepare_rollout(g_params, obs_in, ids, cfg.use_social,
                                cfg.use_pallas, cfg.max_scene_size,
                                social_states=social_x4)
         out_m = jax.vmap(jax.vmap(
             lambda zz: decode_rollout(g_params, prep, zz, cfg.n_next,
                                       cfg.decoder)))(z)
-        out_w = (from_agent_frame_4d(out_m, frame) if cfg.agent_frame
+        out_w = (from_agent_frame_4d(out_m, frame) if frame is not None
                  else out_m)
         return out_m, out_w, z
 

@@ -147,9 +147,9 @@ class EnsembleTrainer:
         n_members = rngs.shape[0]
         n_chunks = tr.test_packed.n_chunks
         # one independent stream per member, split per chunk exactly like
-        # the solo evaluate (jax.random.split over the chunk axis)
-        keys = jnp.stack([jax.random.split(rngs[m], n_chunks)
-                          for m in range(n_members)])     # [N, chunks, 2]
+        # the solo evaluate — ONE vmapped dispatch, not a host loop of
+        # split ops (per-call host PRNG floods the axon tunnel)
+        keys = jax.vmap(lambda r: jax.random.split(r, n_chunks))(rngs)
         total = None
         for i in range(n_chunks):
             chunk = {kk: v[i] for kk, v in tr._test_dev.items()}

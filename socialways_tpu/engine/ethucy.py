@@ -14,6 +14,7 @@ schema (produced by ``cli create-dataset`` from the obsmat files).
 from __future__ import annotations
 
 import os
+import re
 import time
 from typing import Dict, Optional, Sequence
 
@@ -96,8 +97,13 @@ def discover_obsmat(data_dir: str, scenes: Sequence[str] = SCENES
         parts = list(reversed(rel.split(os.sep)))   # filename first
         scene_hit = None
         for part in parts:
+            # tokens match at delimiter boundaries only: a component like
+            # "ethucy"/"eth_ucy's parent dir" must NOT classify as scene
+            # "eth" (trailing digits stay legal: students003, zara01)
             hits = [(len(tok), s) for s in scenes
-                    for tok in _SCENE_TOKENS[s] if tok in part]
+                    for tok in _SCENE_TOKENS[s]
+                    if re.search(r"(?<![a-z0-9])" + re.escape(tok)
+                                 + r"(?![a-z])", part)]
             if hits:
                 hits.sort(reverse=True)
                 if len(hits) > 1 and hits[0][0] == hits[1][0] \
@@ -227,6 +233,10 @@ def run_leave_one_out(
     """Train + evaluate each leave-one-out fold.  Returns
     {scene: {ade_min, fde_min, ade_avg, fde_avg, train_time_s}}."""
     n_epochs = n_epochs or cfg.n_epochs
+    # reflect the override into cfg BEFORE Trainer sees it: schedule
+    # horizons derived from cfg.n_epochs (the d_input_noise_steps=-1
+    # whole-run anneal) must track the epochs actually run
+    cfg = cfg.replace(n_epochs=n_epochs)
     files = {s: os.path.join(data_dir, f"{s}-{cfg.n_past}-{cfg.n_next}.npz")
              for s in scenes}
     missing = [f for f in files.values() if not os.path.exists(f)]

@@ -14,6 +14,7 @@ Everything — the window loop included — is one jitted ``lax.scan`` program.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -52,29 +53,21 @@ def crowd_simulate(
 
     def window(carry, z):
         obsv = carry
-        if cfg.agent_frame:
-            # canonicalize per window: each window's frame comes from its
-            # own observation buffer (origin = last point, +x = heading),
-            # predictions map back to world before re-entering the buffer
-            # — so an agent-frame-trained checkpoint sees exactly the
-            # canonical inputs it trained on (matches gan_step /
-            # k_sample_rollout; fixes the round-3 advisor finding that
-            # simulate fed world coordinates to canonical-frame weights).
-            # With use_social the pairwise geometry stays world-frame.
-            from socialways_tpu.ops.traj import (agent_frame_of,
-                                                 from_agent_frame_4d,
-                                                 obsv_to_4d,
-                                                 to_agent_frame)
-            social_x4 = obsv_to_4d(obsv)[:, -1] if cfg.use_social else None
-            frame = agent_frame_of(obsv)
-            obsv_in = to_agent_frame(obsv, frame)
-        else:
-            obsv_in, social_x4, frame = obsv, None, None
+        # canonicalize per window: each window's frame comes from its own
+        # observation buffer (origin = last point, +x = heading),
+        # predictions map back to world before re-entering the buffer —
+        # so an agent-frame-trained checkpoint sees exactly the canonical
+        # inputs it trained on (the shared composition in
+        # ops/traj.canonicalize_for_rollout)
+        from socialways_tpu.ops.traj import (canonicalize_for_rollout,
+                                             from_agent_frame_4d)
+        obsv_in, frame, social_x4 = canonicalize_for_rollout(
+            obsv, cfg.agent_frame, cfg.use_social)
         pred = generator_rollout(g_params, obsv_in, z, cfg.n_next,
                                  scene_ids, cfg.use_social, cfg.decoder,
                                  cfg.use_pallas, cfg.max_scene_size,
                                  social_states=social_x4)
-        if cfg.agent_frame:
+        if frame is not None:
             pred = from_agent_frame_4d(pred, frame)
         pos = pred[..., :2]
         new_obsv = jnp.concatenate([obsv, pos], axis=1)[:, -n_past:]
@@ -107,6 +100,34 @@ def crowd_simulate_sharded(
     ``neighbor_exchange``: "gather" (one all_gather of per-agent keys per
     window) or "ring" (ppermute-streamed neighbor blocks + flash softmax —
     constant per-device memory in mesh size)."""
+    n, _, _ = obsv0.shape
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if cdt != obsv0.dtype:
+        # same compute-dtype handling as crowd_simulate — without it a
+        # bf16 config silently runs the sharded variant in f32 and the
+        # documented single-vs-sharded equivalence breaks
+        g_params = jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
+        obsv0 = obsv0.astype(cdt)
+    if noise is None:
+        from socialways_tpu.engine.losses import sample_noise
+        keys = jax.random.split(rng, n_windows)
+        noise = jax.vmap(
+            lambda k: sample_noise(k, n, cfg, obsv0.dtype))(keys)
+    fn = _sharded_sim_program(cfg, n_windows, mesh, axis_name,
+                              neighbor_exchange)
+    return fn(g_params, obsv0, scene_ids, noise)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_sim_program(cfg: TrainConfig, n_windows: int, mesh,
+                         axis_name: str, neighbor_exchange: str):
+    """Compiled sharded-sim program, cached by (cfg, windows, mesh,
+    exchange).  Params enter as a jit ARGUMENT (replicated spec), never a
+    closure capture — a captured pytree re-traces on every call and
+    embeds the weights as HLO constants (the documented remote_compile
+    HTTP-413 failure mode on axon)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -119,55 +140,46 @@ def crowd_simulate_sharded(
     social_ctx = (ring_social_context if neighbor_exchange == "ring"
                   else sharded_social_context)
 
-    n, n_past, _ = obsv0.shape
-    if noise is None:
-        from socialways_tpu.engine.losses import sample_noise
-        keys = jax.random.split(rng, n_windows)
-        noise = jax.vmap(
-            lambda k: sample_noise(k, n, cfg, obsv0.dtype))(keys)
-
-    def local_sim(obsv_local, ids_local, noise_local):
+    def local_sim(g_params, obsv_local, ids_local, noise_local):
+        n_past = obsv_local.shape[1]
         def window(carry, z):
             obsv = carry
-            if cfg.agent_frame:
-                # same per-window canonicalization as crowd_simulate; the
-                # social geometry source stays the WORLD-frame last-obs
-                # states (sharded social_ctx takes x4_last directly, so
-                # agents-axis exchange is untouched)
-                from socialways_tpu.ops.traj import (agent_frame_of,
-                                                     from_agent_frame_4d,
-                                                     to_agent_frame)
-                world_x4_last = obsv_to_4d(obsv)[:, -1]
-                frame = agent_frame_of(obsv)
-                obsv_in = to_agent_frame(obsv, frame)
-            else:
-                obsv_in, frame = obsv, None
+            # same per-window canonicalization as crowd_simulate (shared
+            # helper); the social geometry source stays the WORLD-frame
+            # last-obs states — sharded social_ctx takes x4_last
+            # directly, so the agents-axis exchange is untouched
+            from socialways_tpu.ops.traj import (canonicalize_for_rollout,
+                                                 from_agent_frame_4d)
+            obsv_in, frame, social_x4 = canonicalize_for_rollout(
+                obsv, cfg.agent_frame, cfg.use_social)
             obsv_4d = obsv_to_4d(obsv_in)
             h, c = encode_observation(g_params, obsv_4d)
             if cfg.use_social:
-                x4_geo = (world_x4_last if cfg.agent_frame
+                x4_geo = (social_x4 if social_x4 is not None
                           else obsv_4d[:, -1])
                 s = social_ctx(g_params, x4_geo, h, ids_local, axis_name)
             else:
                 s = jnp.zeros_like(h)
             pred = decode_rollout(g_params, (h, c, s, obsv_in[:, -1]), z,
                                   cfg.n_next, cfg.decoder)
-            if cfg.agent_frame:
+            if frame is not None:
                 pred = from_agent_frame_4d(pred, frame)
             pos = pred[..., :2]
             return jnp.concatenate([obsv, pos], axis=1)[:, -n_past:], pos
 
         _, windows = jax.lax.scan(window, obsv_local, noise_local)
         m = obsv_local.shape[0]
+        # float32 trajectories regardless of compute dtype, matching
+        # crowd_simulate
         return jnp.moveaxis(windows, 0, 1).reshape(
-            m, n_windows * cfg.n_next, 2)
+            m, n_windows * cfg.n_next, 2).astype(jnp.float32)
 
     fn = shard_map(local_sim, mesh=mesh,
-                   in_specs=(P(axis_name), P(axis_name),
+                   in_specs=(P(), P(axis_name), P(axis_name),
                              P(None, axis_name)),
                    out_specs=P(axis_name),
                    check_vma=False)
-    return jax.jit(fn)(obsv0, scene_ids, noise)
+    return jax.jit(fn)
 
 
 def make_crowd_sim(cfg: TrainConfig, n_windows: int):

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -205,23 +207,16 @@ def gan_step(
             if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
     obsv = batch["obsvs"].astype(dtype)
     pred = batch["preds"].astype(dtype)
-    social_x4 = None
-    if cfg.agent_frame:
-        # canonicalize per agent (ops/traj.py): the whole step — G, D, Q,
-        # every loss — then runs in agent-centric coordinates.  An
-        # isometry per row, so loss values equal the world-frame ones and
-        # the transform composes freely with DP sharding and grad-accum
-        # chunking (both row-aligned).  With use_social the pairwise
-        # social geometry (distance/bearing/DCA — relational quantities
-        # needing one shared frame) is computed from the WORLD-frame
-        # last-obs states captured here BEFORE canonicalization, while the
-        # pooled h_j stay canonical (models.generator.prepare_rollout).
-        from socialways_tpu.ops.traj import (agent_frame_of, obsv_to_4d,
-                                             to_agent_frame)
-        if cfg.use_social:
-            social_x4 = obsv_to_4d(obsv)[:, -1]
-        _af = agent_frame_of(obsv)
-        obsv = to_agent_frame(obsv, _af)
+    # canonicalize per agent (ops/traj.canonicalize_for_rollout): the
+    # whole step — G, D, Q, every loss — then runs in agent-centric
+    # coordinates.  An isometry per row, so loss values equal the
+    # world-frame ones and the transform composes freely with DP sharding
+    # and grad-accum chunking (both row-aligned).
+    from socialways_tpu.ops.traj import (canonicalize_for_rollout,
+                                         to_agent_frame)
+    obsv, _af, social_x4 = canonicalize_for_rollout(
+        obsv, cfg.agent_frame, cfg.use_social)
+    if _af is not None:
         pred = to_agent_frame(pred, _af)
     scene_ids, valid = batch["scene_ids"], batch["valid"]
     n = obsv.shape[0]
@@ -731,9 +726,25 @@ def gan_step(
     # fully-padded chunks (mesh-divisibility filler) must be no-ops
     any_valid = jnp.any(valid)
     if axis_name is not None:
+        if _w_shard is not None:
+            # losses already carry the valid-count share — plain pmean IS
+            # the global masked mean
+            _loss_mean = functools.partial(jax.lax.pmean,
+                                           axis_name=axis_name)
+        else:
+            # count-weighted global mean: a fully-padded filler shard
+            # (mesh-divisibility padding; masked loss exactly 0) must not
+            # dilute the reported losses, and unevenly-padded shards must
+            # weight by their true sample share — this equals the
+            # single-device masked mean over the global batch
+            _cnt_m = jnp.sum(valid).astype(obsv.dtype)
+            _tot_m = jnp.maximum(jax.lax.psum(_cnt_m, axis_name), 1.0)
+
+            def _loss_mean(x):
+                return jax.lax.psum(x * _cnt_m, axis_name) / _tot_m
         metrics = StepMetrics(
-            d_loss=jax.lax.pmean(metrics.d_loss, axis_name),
-            g_loss=jax.lax.pmean(metrics.g_loss, axis_name),
+            d_loss=_loss_mean(metrics.d_loss),
+            g_loss=_loss_mean(metrics.g_loss),
             ade_sum=jax.lax.psum(metrics.ade_sum, axis_name),
             fde_sum=jax.lax.psum(metrics.fde_sum, axis_name),
             n_samples=jax.lax.psum(metrics.n_samples, axis_name),

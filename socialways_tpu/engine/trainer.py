@@ -243,7 +243,11 @@ class Trainer:
                     fde_sum=sums.fde_sum + m_i.fde_sum,
                     n_samples=sums.n_samples + m_i.n_samples,
                 )
-            m = sums
+            # losses report the per-chunk MEAN, matching the on-device
+            # path (_epoch_fn's jnp.mean) — the debug path must not print
+            # n_chunks-times-larger losses for the same run
+            m = sums._replace(d_loss=sums.d_loss / n_chunks,
+                              g_loss=sums.g_loss / n_chunks)
         # host transfers force true completion (on remote-tunnel platforms
         # like axon, block_until_ready may return early)
         n = max(int(m.n_samples), 1)

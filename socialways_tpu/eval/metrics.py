@@ -64,28 +64,20 @@ def k_sample_rollout(g_params: Dict, obsv: jnp.ndarray,
             _flat_axis_index            # lazy: engine imports eval
         row0 = _flat_axis_index(axis_name) * n
         noise_k = jax.lax.dynamic_slice_in_dim(noise_k, row0, n, axis=1)
-    social_x4 = None
-    if cfg.agent_frame:
-        # canonicalize at the model boundary and map the K rollouts back
-        # to world coordinates — callers always see world-frame states.
-        # With use_social the pairwise geometry stays WORLD-frame: capture
-        # the last-obs 4-D states before canonicalizing (the same
-        # composition as gan_step; see models.generator.prepare_rollout).
-        from socialways_tpu.ops.traj import (agent_frame_of,
-                                             from_agent_frame_4d,
-                                             obsv_to_4d,
-                                             to_agent_frame)
-        if cfg.use_social:
-            social_x4 = obsv_to_4d(obsv)[:, -1]
-        frame = agent_frame_of(obsv)
-        obsv = to_agent_frame(obsv, frame)
+    # canonicalize at the model boundary and map the K rollouts back to
+    # world coordinates — callers always see world-frame states (the
+    # shared agent_frame × use_social composition, same as gan_step)
+    from socialways_tpu.ops.traj import (canonicalize_for_rollout,
+                                         from_agent_frame_4d)
+    obsv, frame, social_x4 = canonicalize_for_rollout(
+        obsv, cfg.agent_frame, cfg.use_social)
     prep = prepare_rollout(g_params, obsv, scene_ids, cfg.use_social,
                            cfg.use_pallas, cfg.max_scene_size,
                            social_states=social_x4)
     out = jax.vmap(
         lambda z: decode_rollout(g_params, prep, z, cfg.n_next, cfg.decoder)
     )(noise_k)
-    if cfg.agent_frame:
+    if frame is not None:
         out = from_agent_frame_4d(out, frame)   # frame [N] broadcasts to K
     return out
 

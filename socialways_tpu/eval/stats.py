@@ -65,7 +65,10 @@ def compute_wasserstein(reals: np.ndarray, fakes: np.ndarray,
                         obsv_len: int = 2) -> float:
     """EMD via optimal assignment, averaged over samples and pedestrians
     (calc_statistics.py:48-66)."""
-    n_reals = reals.shape[0]
+    # the assignment produces min(K_real, K_fake) matched pairs per
+    # pedestrian — normalize by THAT, not n_reals, or a fake set smaller
+    # than the real set deflates the EMD
+    n_pairs = min(reals.shape[0], fakes.shape[0])
     n_ped = reals.shape[1]
     cost = 0.0
     for kk in range(n_ped):
@@ -73,7 +76,7 @@ def compute_wasserstein(reals: np.ndarray, fakes: np.ndarray,
                                 fakes[:, kk, obsv_len:])
         ri, ci = linear_sum_assignment(d)
         cost += d[ri, ci].sum()
-    return cost / (n_reals * n_ped)
+    return cost / (n_pairs * n_ped)
 
 
 def stats_for_dump(npz_path: str, real_samples: np.ndarray,

@@ -83,6 +83,29 @@ def from_agent_frame_4d(states: jnp.ndarray, frame) -> jnp.ndarray:
     return jnp.stack([wx, wy, wvx, wvy], axis=-1)
 
 
+def canonicalize_for_rollout(obsv_p: jnp.ndarray, agent_frame: bool,
+                             use_social: bool):
+    """THE agent_frame × use_social composition, in one place.
+
+    Returns ``(obsv_in, frame, social_x4)``: the (possibly canonicalized)
+    encoder/decoder input, the per-agent frame (None when ``agent_frame``
+    is off — rollouts then need no un-mapping), and the WORLD-frame
+    last-obs 4-D states for the pairwise social geometry (None unless
+    both flags are on; distance/bearing/DCA are relational quantities
+    that need one shared frame, so they are captured BEFORE
+    canonicalization while the pooled h_j stay canonical — see
+    models.generator.prepare_rollout).  Every consumer — gan_step,
+    k_sample_rollout, crowd_simulate (both variants), diagnostics — must
+    go through this helper: a hand-rolled copy drifted once already
+    (round-3 advisor: simulate fed world coordinates to canonical-frame
+    weights)."""
+    if not agent_frame:
+        return obsv_p, None, None
+    social_x4 = obsv_to_4d(obsv_p)[:, -1] if use_social else None
+    frame = agent_frame_of(obsv_p)
+    return to_agent_frame(obsv_p, frame), frame, social_x4
+
+
 def predict_cv(obsv: jnp.ndarray, n_next: int) -> jnp.ndarray:
     """Constant-velocity baseline (reference utils/linear_models.py:9-20):
     v = (p[-1] - p[-3]) / 2 when possible, else a single diff; extrapolate

@@ -51,34 +51,16 @@ def sharded_social_context(
     h_all = jax.lax.all_gather(h, axis_name, tiled=True)
     ids_all = jax.lax.all_gather(scene_ids, axis_name, tiled=True)
 
-    p_i, v_i = x4_last[:, :2], x4_last[:, 2:]
-    p_j, v_j = x4_all[:, :2], x4_all[:, 2:]
-    dp = p_i[:, None, :] - p_j[None, :, :]          # [N_local, N_global, 2]
-    dv = v_i[:, None, :] - v_j[None, :, :]
-
-    dist = safe_norm(dp)
-    dot_dp_v = jnp.einsum("ijk,ik->ij", dp, v_i)
-    bearing = dot_dp_v / (dist * safe_norm(v_i)[:, None] + 1e-6)
-    dot_dp_dv = jnp.sum(dp * dv, axis=-1)
-    ttca = -dot_dp_dv / (jnp.sum(dv * dv, axis=-1) + 1e-6)
-    dca = safe_norm(dp + ttca[..., None] * dv)
-
-    feats = jnp.stack([dist, bearing, dca], axis=-1)
-    f_emb = mlp_apply(params["feat_mlp"], feats)    # [N_local, N_global, F]
-
-    wh_all = linear_apply(params["attn_w"], h_all)  # [N_global, F]
-    scores = jnp.einsum("ijf,jf->ij", f_emb, wh_all)
-
-    # mask: same scene, both valid, exclude self by GLOBAL index
+    # self-exclusion by GLOBAL index; geometry/score math shared with the
+    # ring form (_block_scores — ONE copy of the epsilon-sensitive
+    # reference-parity math, the gathered axis as a single block)
     n_local = x4_last.shape[0]
-    my_start = jax.lax.axis_index(axis_name) * n_local
-    row_g = my_start + jnp.arange(n_local)[:, None]
+    row_g = (jax.lax.axis_index(axis_name) * n_local
+             + jnp.arange(n_local))[:, None]
     col_g = jnp.arange(x4_all.shape[0])[None, :]
-    same = scene_ids[:, None] == ids_all[None, :]
-    valid = (scene_ids[:, None] >= 0) & (ids_all[None, :] >= 0)
-    mask = same & valid & (row_g != col_g)
+    scores, mask = _block_scores(params, x4_last, h, scene_ids,
+                                 x4_all, h_all, ids_all, row_g, col_g)
 
-    scores = jnp.where(mask, scores, _NEG)
     smax = jnp.max(scores, axis=-1, keepdims=True)
     unnorm = jnp.where(mask, jnp.exp(scores - smax), 0.0)
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)

@@ -51,6 +51,12 @@ def test_emd_orders_by_separation():
     assert 0 < e_near < e_far
     # identical sets have ~zero EMD
     assert compute_wasserstein(r, r, obsv_len=2) < 1e-9
+    # mismatched sample counts: the assignment matches min(Ka, Kb) pairs,
+    # so halving the fake set must NOT deflate the EMD (per-pair cost is
+    # what is averaged)
+    e_half = compute_wasserstein(r, f_far[: f_far.shape[0] // 2],
+                                 obsv_len=2)
+    assert e_half > 0.5 * e_far
 
 
 def test_stats_pipeline_over_dumps(tmp_path, toy_npz):

@@ -108,6 +108,14 @@ def test_auto_discovery_prepares_and_runs_loo(tmp_path):
     decoy = data / "notes_obsmat.txt"
     decoy.write_text("1 2 3\n4 5 6\n")
 
+    # scene tokens match at DELIMITER boundaries: an obsmat directly
+    # under a dir named 'ethucy' (the dataset's common umbrella name)
+    # must be unclassified, not mapped to scene 'eth' — which would
+    # collide with the real seq_eth file and block the whole layout
+    umbrella = data / "ethucy" / "obsmat.txt"
+    os.makedirs(umbrella.parent, exist_ok=True)
+    write_obsmat(make_scene("eth", n_agents=30, seed=2), str(umbrella))
+
     found = discover_obsmat(str(data))
     assert {s: os.path.abspath(p) for s, p in found.items()} == {
         s: os.path.abspath(str(p)) for s, p in layout.items()}

@@ -364,6 +364,12 @@ def test_dp_step_matches_single_device_with_uneven_padding(mesh):
     assert int(dp_m.n_samples) == int(sd_m.n_samples) == 60
     np.testing.assert_allclose(float(dp_m.ade_sum), float(sd_m.ade_sum),
                                rtol=1e-5)
+    # loss METRICS are the count-weighted global masked mean — an
+    # unweighted pmean would let lightly-filled shards dilute them
+    np.testing.assert_allclose(float(dp_m.d_loss), float(sd_m.d_loss),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(dp_m.g_loss), float(sd_m.g_loss),
+                               rtol=2e-4)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
