@@ -172,6 +172,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="anneal --d-input-noise linearly to 0 over this "
                         "many GAN steps (0 = constant; -1 = the whole "
                         "planned run, epochs x chunks)")
+    p.add_argument("--d-input-noise-floor", type=float, default=0.0,
+                   help="clamp the annealed noise std from below: early "
+                        "training gets the full ramp, late training "
+                        "keeps this constant floor (prevents late "
+                        "D-overfit divergence on hard folds — BASELINE.md "
+                        "LOO stabilizer A/B; ignored without an anneal)")
     p.add_argument("--pac", type=int, default=1,
                    help="PacGAN: the LSGAN classifier scores packs of "
                         "this many consecutive samples (one label per "
@@ -326,6 +332,7 @@ def _cfg_from_args(args) -> "TrainConfig":
         r1_gamma=getattr(args, "r1_gamma", 0.0),
         d_input_noise=getattr(args, "d_input_noise", 0.0),
         d_input_noise_steps=getattr(args, "d_input_noise_steps", 0),
+        d_input_noise_floor=getattr(args, "d_input_noise_floor", 0.0),
         pac=getattr(args, "pac", 1),
         spectral_norm=getattr(args, "spectral_norm", False),
         mb_std=getattr(args, "mb_std", False),

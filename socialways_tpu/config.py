@@ -127,11 +127,17 @@ class TrainConfig:
     # of every D evaluation (fake and real futures alike; the shared
     # observation branch stays clean) — overlaps the real/fake supports so
     # D's decision boundary can't sharpen onto single modes.  With
-    # d_input_noise_steps > 0 the std decays linearly to 0 over that many
-    # GAN steps (the classic anneal); 0 keeps it constant.  0.0 = off
-    # (reference parity).
+    # d_input_noise_steps > 0 the std decays linearly over that many GAN
+    # steps (the classic anneal); 0 keeps it constant.  0.0 = off
+    # (reference parity).  d_input_noise_floor clamps the annealed std
+    # from below — the round-4 LOO A/B showed the anneal-to-zero wins the
+    # easy folds while a constant floor is what prevents the hard fold's
+    # late D-overfit divergence (BASELINE.md "LOO stabilizer A/B"); the
+    # floor composes both.  Ignored without an anneal (constant mode
+    # already IS a floor).
     d_input_noise: float = 0.0
     d_input_noise_steps: int = 0
+    d_input_noise_floor: float = 0.0
     # Spectral normalization of D's feed-forward Linear weights (SN-GAN,
     # Miyato et al. 2018): every evaluation divides each FC ``w`` by its
     # top singular value (stateless power iteration — see

@@ -417,6 +417,12 @@ def gan_step(
         if cfg.d_input_noise_steps > 0:
             sigma = cfg.d_input_noise * jnp.maximum(
                 0.0, 1.0 - step0 / cfg.d_input_noise_steps)
+            if cfg.d_input_noise_floor > 0:
+                # anneal-to-a-floor: early training gets the full σ ramp,
+                # late training keeps the constant floor that prevents
+                # D-overfit divergence (BASELINE.md LOO stabilizer A/B)
+                sigma = jnp.maximum(
+                    sigma, jnp.asarray(cfg.d_input_noise_floor, dtype))
         else:
             sigma = jnp.asarray(cfg.d_input_noise, dtype)
         kf, kr, kg = jax.random.split(jax.random.fold_in(rng, 13), 3)

@@ -790,6 +790,28 @@ def test_d_input_noise_perturbs_then_anneals_to_parity():
                                                 rel=1e-6)
 
 
+def test_d_input_noise_floor_keeps_late_noise():
+    """--d-input-noise-floor: past the anneal window sigma clamps at the
+    floor, so the step equals the CONSTANT-sigma=floor step exactly (same
+    eps stream, only the std differs) and differs from the clean step."""
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = _batch()
+    base = jax.jit(lambda s, b, r: gan_step(s, b, r, CFG))
+    s1, _ = base(state, batch, jax.random.PRNGKey(1))  # G count 1 >= window
+    cfg_floor = CFG.replace(d_input_noise=0.5, d_input_noise_steps=1,
+                            d_input_noise_floor=0.1)
+    cfg_const = CFG.replace(d_input_noise=0.1)
+    key2 = jax.random.PRNGKey(2)
+    _, m_floor = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_floor))(
+        s1, batch, key2)
+    _, m_const = jax.jit(lambda s, b, r: gan_step(s, b, r, cfg_const))(
+        s1, batch, key2)
+    _, m_clean = base(s1, batch, key2)
+    assert float(m_floor.d_loss) == pytest.approx(float(m_const.d_loss),
+                                                  rel=1e-6)
+    assert float(m_floor.d_loss) != float(m_clean.d_loss)
+
+
 def test_trainer_resolves_anneal_sentinel(toy_ds):
     """d_input_noise_steps=-1 (anneal over the whole run) is resolved by
     Trainer itself — mesh-aware optimizer-step count — so EVERY driver
