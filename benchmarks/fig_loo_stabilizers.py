@@ -34,6 +34,8 @@ ARMS = [
      "ethucy_timematched_loo_r4afsocial_ema_constinoise.json", False, set()),
     ("+ema+anneal-σ",
      "ethucy_timematched_loo_r4afsocial_ema_annealinoise.json", False, set()),
+    ("+ema+σ-floor",
+     "ethucy_timematched_loo_r4afsocial_ema_floor02.json", False, set()),
 ]
 
 # dataviz defaults (light mode): surface/ink tokens + one categorical hue
