@@ -49,8 +49,22 @@ def main():
                     help="JSON dict of extra TrainConfig overrides "
                          "(e.g. '{\"g_ema_decay\": 0.999}') — same "
                          "convention as coverage_ensemble.py")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (same convention as the "
+                         "other harnesses; safe while the TPU is held by "
+                         "another process — the tunnel is single-client)")
+    ap.add_argument("--stall-blocks", type=int, default=0,
+                    help="ADE-stall rescue: after N eval blocks without a "
+                         ">2%% best-ADE improvement, restore the best-so-"
+                         "far state and re-initialize D + its optimizer "
+                         "on a fresh key (the production --stall-reset-d "
+                         "recipe, cli/main.py:562-586, keyed on eval ADE "
+                         "instead of toy coverage). 0 = off")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     folds = prepare_folds(args.dir)
     if args.fold == "all":
         from benchmarks.synth_ethucy import SCENES
@@ -99,6 +113,10 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
 
     best = {"ade_min20": float("inf"), "fde_min20": float("inf"),
             "at_epoch": 0}
+    best_state = state  # pytrees are immutable; this is a cheap alias
+    stall_bar = float("inf")
+    stall = 0
+    rescues = []
     curve = []
     train_s = 0.0
     done = 0
@@ -115,18 +133,48 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
         rng, sub = jax.random.split(rng)
         ev = trainer.evaluate(state, sub, n_gen_samples=20)
         curve.append({"epoch": done, "ade_min20": round(ev["ade_min"], 4),
-                      "fde_min20": round(ev["fde_min"], 4)})
+                      "fde_min20": round(ev["fde_min"], 4),
+                      "d_loss": round(m["d_loss"], 4),
+                      "g_loss": round(m["g_loss"], 4)})
         if ev["ade_min"] < best["ade_min20"]:
             best = {"ade_min20": round(ev["ade_min"], 4),
                     "fde_min20": round(ev["fde_min"], 4),
                     "at_epoch": done}
+            best_state = state
         print(curve[-1], flush=True)
+        if args.stall_blocks:
+            if ev["ade_min"] < 0.98 * stall_bar:
+                stall_bar = ev["ade_min"]
+                stall = 0
+            else:
+                stall += 1
+            if stall >= args.stall_blocks and done < args.epochs:
+                # stalled adversarial equilibrium: restore the best G/EMA
+                # seen so far and give it a FRESH discriminator (the
+                # --stall-reset-d mechanism; schedule clocks rewind with
+                # the restore, so the noise anneal replays from the best
+                # epoch — acceptable for an anneal-to-floor schedule)
+                import jax.numpy as jnp
+                from socialways_tpu.engine.train_step import make_optimizers
+                from socialways_tpu.models.discriminator import \
+                    init_discriminator
+                rng, kd = jax.random.split(rng)
+                d_params = init_discriminator(kd, cfg, jnp.dtype(cfg.dtype))
+                _, d_tx = make_optimizers(cfg)
+                state = best_state._replace(d_params=d_params,
+                                            d_opt=d_tx.init(d_params))
+                rescues.append(done)
+                stall = 0
+                stall_bar = best["ade_min20"]
+                print({"rescue_at": done, "from_best_epoch":
+                       best["at_epoch"]}, flush=True)
 
     total_s = time.perf_counter() - tic_total
     return {
         "fold": fold_name, "epochs": args.epochs,
         "steps": trainer.n_steps_per_epoch * args.epochs,
         "best": best, "final": curve[-1],
+        "rescues": rescues,
         "train_time_s": round(train_s, 1),
         "total_wall_s": round(total_s, 1),
         "reference_comparison": {
