@@ -147,6 +147,14 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "stall rescue — a fresh adversarial landscape "
                         "can push a collapsed code-to-mode mapping out "
                         "of its basin (D is small and relearns fast)")
+    p.add_argument("--ade-stall-recover", type=int, default=0,
+                   help="after N consecutive evals without a >2%% "
+                        "improvement of the best min-K ADE, restore the "
+                        "best checkpoint and re-initialize the "
+                        "discriminator (params + optimizer) — the "
+                        "--stall-reset-d mechanism keyed on eval ADE "
+                        "instead of toy coverage, for non-toy data where "
+                        "coverage is undefined (0 = off)")
     p.add_argument("--rescue-keep-clock", action="store_true",
                    help="checkpoint-restore rescues (--auto-recover, "
                         "--stall-recover) keep the optimizer step counts "
@@ -460,6 +468,8 @@ def cmd_train(args) -> int:
     best_train_ade = float("inf")
     best_cov = -1.0
     cov_stall = 0
+    ade_stall = 0
+    ade_stall_bar = float("inf")
     bestcov_file = os.path.join(cfg.model_dir,
                                 f"{args.model}-{cfg.dataset}-bestcov.npz")
     state = trainer.init_state()
@@ -546,6 +556,45 @@ def cmd_train(args) -> int:
                 best_ade = ev["ade_min"]
                 save_checkpoint(best_file, state, epoch, rng, ds.scale)
                 print(f"new best (ADE {best_ade:.3f}) saved to {best_file}")
+            if args.ade_stall_recover:
+                if ev["ade_min"] < 0.98 * ade_stall_bar:
+                    ade_stall_bar = ev["ade_min"]
+                    ade_stall = 0
+                else:
+                    ade_stall += 1
+                if (ade_stall >= args.ade_stall_recover
+                        and epoch < cfg.n_epochs
+                        and checkpoint_exists(best_file)):
+                    pre_rescue = state
+                    state, b_epoch, _, _ = restore_checkpoint(best_file,
+                                                              state)
+                    if getattr(args, "rescue_keep_clock", False):
+                        from socialways_tpu.engine import \
+                            transplant_schedule_clock
+                        state = transplant_schedule_clock(state, pre_rescue)
+                    # fresh adversarial landscape (--stall-reset-d's move,
+                    # keyed on eval ADE; validated on the LOO protocol —
+                    # benchmarks/ethucy_timematched.py --stall-blocks)
+                    from socialways_tpu.engine.train_step import \
+                        make_optimizers
+                    from socialways_tpu.models.discriminator import \
+                        init_discriminator
+                    import jax.numpy as jnp
+                    rng, kd = jax.random.split(rng)
+                    d_params = init_discriminator(kd, cfg,
+                                                  jnp.dtype(cfg.dtype))
+                    _, d_tx = make_optimizers(cfg)
+                    state = state._replace(d_params=d_params,
+                                           d_opt=d_tx.init(d_params))
+                    ade_stall = 0
+                    ade_stall_bar = best_ade
+                    print(f"ADE STALLED at epoch {epoch} (best "
+                          f"{best_ade:.3f} unimproved for "
+                          f"{args.ade_stall_recover} evals); restored best "
+                          f"checkpoint from epoch {b_epoch} with a "
+                          f"RE-INITIALIZED discriminator")
+                    _log_metrics(args.metrics_log, kind="rescue",
+                                 epoch=epoch, ade_stall=True)
             if args.track_coverage:
                 cov = _eval_coverage(trainer, state, ds, cfg, rng)
                 print(f"mode coverage = {cov:.2f}")

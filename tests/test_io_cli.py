@@ -289,3 +289,29 @@ def test_cli_plot_tracks(tmp_path):
     rc = cli_main(["plot-tracks", str(ann), "--parser", "biwi",
                    "--out", str(out), "--min-len", "3"])
     assert rc == 0 and out.exists() and out.stat().st_size > 0
+
+
+def test_cli_ade_stall_recover(tmp_path, toy_npz, capsys, monkeypatch):
+    """--ade-stall-recover N: after N evals without a >2% best-ADE
+    improvement, train restores the best checkpoint and re-initializes
+    D (the --stall-reset-d mechanism keyed on eval ADE — usable on
+    non-toy data where coverage is undefined).  A constant-ADE evaluate
+    makes every eval a stall, so the rescue must fire exactly once in a
+    3-epoch run (the final eval is guarded: no pointless rescue at run
+    end)."""
+    from socialways_tpu.engine.trainer import Trainer
+
+    def const_eval(self, state, rng, n_gen_samples=None):
+        return {"ade_min": 1.0, "fde_min": 2.0,
+                "ade_avg": 1.0, "fde_avg": 2.0}
+
+    monkeypatch.setattr(Trainer, "evaluate", const_eval)
+    rc = cli_main(["train", "--data", toy_npz, "--epochs", "3",
+                   "--h-size", "16", "--batch-size", "32",
+                   "--model-dir", str(tmp_path / "m"),
+                   "--save-interval", "50", "--test-interval", "1",
+                   "--dataset", "toy", "--ade-stall-recover", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("ADE STALLED") == 1
+    assert "RE-INITIALIZED discriminator" in out
