@@ -843,8 +843,10 @@ def cmd_eth_ucy(args) -> int:
                     json.dump(out, fh, indent=2, default=str)
             return 0
 
-    out["folds"] = run_leave_one_out(args.data_dir, cfg, scenes=scenes,
-                                     fused_block=args.fused_block)
+    out["folds"] = run_leave_one_out(
+        args.data_dir, cfg, scenes=scenes, fused_block=args.fused_block,
+        eval_every=args.eval_every,
+        ade_stall_recover=args.ade_stall_recover)
 
     if args.compare_reference:
         # train the UNMODIFIED reference on the identical fold npz files
@@ -1096,6 +1098,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "windowed on the fly)")
     p.add_argument("--scenes", default="eth,hotel,univ,zara1,zara2")
     p.add_argument("--fused-block", type=int, default=10)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate the held-out scene every N epochs "
+                        "during training and report the best checkpoint "
+                        "(best_ade_min/best_fde_min/best_at_epoch) "
+                        "alongside the final eval; 0 = final eval only. "
+                        "--ade-stall-recover uses these evals for its "
+                        "stall rescue and defaults this to n_epochs/30")
     p.add_argument("--prepare-only", action="store_true",
                    help="stop after obsmat discovery + npz building")
     p.add_argument("--compare-reference", action="store_true",

@@ -10,6 +10,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -145,3 +146,42 @@ def test_auto_discovery_prepares_and_runs_loo(tmp_path):
         res = _json.load(fh)["folds"]
     for scene in ("eth", "hotel"):
         assert np.isfinite(res[scene]["ade_min"])
+
+
+@pytest.mark.slow
+def test_loo_eval_every_best_tracking_and_stall_rescue(tmp_path,
+                                                       monkeypatch):
+    """run_leave_one_out with eval_every: periodic held-out evals, best-
+    checkpoint keys (best_ade_min/best_fde_min/best_at_epoch) in the
+    results, and the ADE-keyed stall rescue (restore best + fresh D).
+    A strictly non-improving evaluate forces the rescue on every eval
+    except the last (no pointless rescue at run end) and pins the best
+    at the first eval."""
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.engine.ethucy import run_leave_one_out
+    from socialways_tpu.engine.trainer import Trainer
+
+    out, _ = _tiny_scenes(tmp_path)
+    evals = []
+
+    def const_eval(self, state, rng, n_gen_samples=None):
+        evals.append(1)
+        return {"ade_min": 1.0, "fde_min": 2.0,
+                "ade_avg": 1.0, "fde_avg": 2.0}
+
+    monkeypatch.setattr(Trainer, "evaluate", const_eval)
+    cfg = TrainConfig(n_epochs=4, hidden_size=16, social_feature_size=16,
+                      noise_len=8, batch_size=64, n_gen_samples=2)
+    res = run_leave_one_out(out, cfg, scenes=("eth", "hotel"),
+                            fused_block=2, eval_every=1,
+                            ade_stall_recover=1, verbose=False)
+    for scene in ("eth", "hotel"):
+        r = res[scene]
+        assert r["ade_min"] == 1.0                      # final eval keys
+        assert r["best_ade_min"] == 1.0
+        assert r["best_fde_min"] == 2.0
+        assert r["best_at_epoch"] == 1                  # first eval wins
+        # evals at 1,2,3,4: stall fires at 2 and 3; 4 is run end
+        assert r["rescues"] == [2, 3]
+    # 4 in-training evals + 1 final, per fold
+    assert len(evals) == 2 * 5
