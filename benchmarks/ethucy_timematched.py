@@ -60,6 +60,17 @@ def main():
                          "on a fresh key (the production --stall-reset-d "
                          "recipe, cli/main.py:562-586, keyed on eval ADE "
                          "instead of toy coverage). 0 = off")
+    ap.add_argument("--stall-grace", type=int, default=0,
+                    help="post-rescue grace: skip stall counting for G "
+                         "eval blocks after each rescue (G re-trains "
+                         "against the fresh random D for a while — the "
+                         "measured transient doubles ADE for 1-2 blocks "
+                         "before recovery, r4k log)")
+    ap.add_argument("--stall-max-rescues", type=int, default=0,
+                    help="stop rescuing after M rescues that produced no "
+                         "new global best (each ineffective rescue costs "
+                         "a transient; fold-level thrash measured in the "
+                         "r4k queue). 0 = unlimited")
     args = ap.parse_args()
 
     if args.cpu:
@@ -116,6 +127,9 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
     best_state = state  # pytrees are immutable; this is a cheap alias
     stall_bar = float("inf")
     stall = 0
+    grace = 0
+    ineffective = 0
+    best_at_last_rescue = float("inf")
     rescues = []
     curve = []
     train_s = 0.0
@@ -143,12 +157,18 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
             best_state = state
         print(curve[-1], flush=True)
         if args.stall_blocks:
+            if grace > 0:
+                grace -= 1
+                continue
             if ev["ade_min"] < 0.98 * stall_bar:
                 stall_bar = ev["ade_min"]
                 stall = 0
             else:
                 stall += 1
-            if stall >= args.stall_blocks and done < args.epochs:
+            capped = (args.stall_max_rescues
+                      and ineffective >= args.stall_max_rescues)
+            if stall >= args.stall_blocks and done < args.epochs \
+                    and not capped:
                 # stalled adversarial equilibrium: restore the best G/EMA
                 # seen so far and give it a FRESH discriminator (the
                 # --stall-reset-d mechanism; schedule clocks rewind with
@@ -163,11 +183,18 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
                 _, d_tx = make_optimizers(cfg)
                 state = best_state._replace(d_params=d_params,
                                             d_opt=d_tx.init(d_params))
+                if best["ade_min20"] < best_at_last_rescue * 0.98:
+                    ineffective = 0          # the last rescue found a
+                else:                        # new basin — reset the cap
+                    ineffective += 1
+                best_at_last_rescue = best["ade_min20"]
                 rescues.append(done)
                 stall = 0
+                grace = args.stall_grace
                 stall_bar = best["ade_min20"]
                 print({"rescue_at": done, "from_best_epoch":
-                       best["at_epoch"]}, flush=True)
+                       best["at_epoch"], "ineffective_streak": ineffective},
+                      flush=True)
 
     total_s = time.perf_counter() - tic_total
     return {

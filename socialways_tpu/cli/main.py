@@ -155,6 +155,18 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "--stall-reset-d mechanism keyed on eval ADE "
                         "instead of toy coverage, for non-toy data where "
                         "coverage is undefined (0 = off)")
+    p.add_argument("--ade-stall-grace", type=int, default=2,
+                   help="post-rescue grace: skip ADE-stall counting for "
+                        "G evals after each rescue — G re-trains against "
+                        "the fresh random D for a while and the measured "
+                        "transient doubles ADE for 1-2 eval blocks before "
+                        "recovery (counting those re-fires the rescue "
+                        "mid-recovery)")
+    p.add_argument("--ade-stall-max-rescues", type=int, default=3,
+                   help="stop ADE-stall rescuing after M consecutive "
+                        "rescues produce no new global best (each "
+                        "ineffective rescue costs a transient; 0 = "
+                        "unlimited)")
     p.add_argument("--rescue-keep-clock", action="store_true",
                    help="checkpoint-restore rescues (--auto-recover, "
                         "--stall-recover) keep the optimizer step counts "
@@ -470,6 +482,9 @@ def cmd_train(args) -> int:
     cov_stall = 0
     ade_stall = 0
     ade_stall_bar = float("inf")
+    ade_stall_grace = 0
+    ade_rescues_ineffective = 0
+    ade_best_at_last_rescue = float("inf")
     bestcov_file = os.path.join(cfg.model_dir,
                                 f"{args.model}-{cfg.dataset}-bestcov.npz")
     state = trainer.init_state()
@@ -556,13 +571,21 @@ def cmd_train(args) -> int:
                 best_ade = ev["ade_min"]
                 save_checkpoint(best_file, state, epoch, rng, ds.scale)
                 print(f"new best (ADE {best_ade:.3f}) saved to {best_file}")
-            if args.ade_stall_recover:
+            if args.ade_stall_recover and ade_stall_grace > 0:
+                # post-rescue transient (G vs the fresh random D): don't
+                # count these evals as stalls
+                ade_stall_grace -= 1
+            elif args.ade_stall_recover:
                 if ev["ade_min"] < 0.98 * ade_stall_bar:
                     ade_stall_bar = ev["ade_min"]
                     ade_stall = 0
                 else:
                     ade_stall += 1
+                capped = (args.ade_stall_max_rescues
+                          and ade_rescues_ineffective
+                          >= args.ade_stall_max_rescues)
                 if (ade_stall >= args.ade_stall_recover
+                        and not capped
                         and epoch < cfg.n_epochs
                         and checkpoint_exists(best_file)):
                     pre_rescue = state
@@ -586,7 +609,13 @@ def cmd_train(args) -> int:
                     _, d_tx = make_optimizers(cfg)
                     state = state._replace(d_params=d_params,
                                            d_opt=d_tx.init(d_params))
+                    if best_ade < ade_best_at_last_rescue * 0.98:
+                        ade_rescues_ineffective = 0
+                    else:
+                        ade_rescues_ineffective += 1
+                    ade_best_at_last_rescue = best_ade
                     ade_stall = 0
+                    ade_stall_grace = args.ade_stall_grace
                     ade_stall_bar = best_ade
                     print(f"ADE STALLED at epoch {epoch} (best "
                           f"{best_ade:.3f} unimproved for "
@@ -846,7 +875,9 @@ def cmd_eth_ucy(args) -> int:
     out["folds"] = run_leave_one_out(
         args.data_dir, cfg, scenes=scenes, fused_block=args.fused_block,
         eval_every=args.eval_every,
-        ade_stall_recover=args.ade_stall_recover)
+        ade_stall_recover=args.ade_stall_recover,
+        ade_stall_grace=args.ade_stall_grace,
+        ade_stall_max_rescues=args.ade_stall_max_rescues)
 
     if args.compare_reference:
         # train the UNMODIFIED reference on the identical fold npz files

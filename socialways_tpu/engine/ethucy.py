@@ -231,6 +231,8 @@ def run_leave_one_out(
     verbose: bool = True,
     eval_every: int = 0,
     ade_stall_recover: int = 0,
+    ade_stall_grace: int = 2,
+    ade_stall_max_rescues: int = 3,
 ) -> Dict[str, Dict[str, float]]:
     """Train + evaluate each leave-one-out fold.  Returns
     {scene: {ade_min, fde_min, ade_avg, fde_avg, train_time_s}}.
@@ -250,6 +252,15 @@ def run_leave_one_out(
     matrix and are metastable — a fresh adversarial landscape kicks the
     generator out of the bad equilibrium).  Implies a default
     ``eval_every`` of n_epochs/30 when not set explicitly.
+
+    ``ade_stall_grace`` skips stall counting for that many evals after
+    each rescue: G re-trains against the fresh random D for a while,
+    and the measured post-rescue transient doubles ADE for 1-2 eval
+    blocks before recovery (benchmarks/tpu_runbook_r4k.log) — counting
+    those blocks re-fires the rescue mid-recovery.
+    ``ade_stall_max_rescues`` stops rescuing after that many
+    consecutive rescues produce no new global best (each ineffective
+    rescue costs a transient; unbounded retries measurably thrash).
     """
     n_epochs = n_epochs or cfg.n_epochs
     if ade_stall_recover and eval_every <= 0:
@@ -279,6 +290,9 @@ def run_leave_one_out(
         best_state = state            # pytrees are immutable; cheap alias
         stall_bar = float("inf")
         stall = 0
+        grace = 0
+        ineffective = 0
+        best_at_last_rescue = float("inf")
         rescues = []
         tic = time.perf_counter()
         done = 0
@@ -312,12 +326,18 @@ def run_leave_one_out(
                       f"@{best['best_at_epoch']})")
             if not ade_stall_recover:
                 continue
+            if grace > 0:
+                grace -= 1
+                continue
             if ev["ade_min"] < 0.98 * stall_bar:
                 stall_bar = ev["ade_min"]
                 stall = 0
             else:
                 stall += 1
-            if stall >= ade_stall_recover and done < n_epochs:
+            capped = (ade_stall_max_rescues
+                      and ineffective >= ade_stall_max_rescues)
+            if stall >= ade_stall_recover and done < n_epochs \
+                    and not capped:
                 # stalled adversarial equilibrium: restore the best state
                 # seen and give it a FRESH discriminator (the production
                 # --stall-reset-d move keyed on eval ADE; schedule clocks
@@ -332,8 +352,14 @@ def run_leave_one_out(
                 _, d_tx = make_optimizers(cfg)
                 state = best_state._replace(d_params=d_params,
                                             d_opt=d_tx.init(d_params))
+                if best["best_ade_min"] < best_at_last_rescue * 0.98:
+                    ineffective = 0          # last rescue found a new
+                else:                        # basin — reset the cap
+                    ineffective += 1
+                best_at_last_rescue = best["best_ade_min"]
                 rescues.append(done)
                 stall = 0
+                grace = ade_stall_grace
                 stall_bar = best["best_ade_min"]
                 if verbose:
                     print(f"  [{held_out}] ADE stalled @{done}; restored "

@@ -174,7 +174,8 @@ def test_loo_eval_every_best_tracking_and_stall_rescue(tmp_path,
                       noise_len=8, batch_size=64, n_gen_samples=2)
     res = run_leave_one_out(out, cfg, scenes=("eth", "hotel"),
                             fused_block=2, eval_every=1,
-                            ade_stall_recover=1, verbose=False)
+                            ade_stall_recover=1, ade_stall_grace=0,
+                            ade_stall_max_rescues=0, verbose=False)
     for scene in ("eth", "hotel"):
         r = res[scene]
         assert r["ade_min"] == 1.0                      # final eval keys

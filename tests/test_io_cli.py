@@ -315,3 +315,36 @@ def test_cli_ade_stall_recover(tmp_path, toy_npz, capsys, monkeypatch):
     assert rc == 0
     assert out.count("ADE STALLED") == 1
     assert "RE-INITIALIZED discriminator" in out
+
+
+@pytest.mark.slow
+def test_cli_ade_stall_grace_and_rescue_cap(tmp_path, toy_npz, capsys,
+                                            monkeypatch):
+    """Post-rescue grace and the ineffective-rescue cap: with a
+    constant-ADE evaluate, grace 0 and max-rescues 1, a 5-epoch run
+    fires rescue #1 (always allowed), rescue #2 (ineffective streak 1),
+    then is capped — exactly two rescues.  With the default grace (2),
+    the same run fires only once (the two evals after the rescue are
+    the transient window)."""
+    from socialways_tpu.engine.trainer import Trainer
+
+    def const_eval(self, state, rng, n_gen_samples=None):
+        return {"ade_min": 1.0, "fde_min": 2.0,
+                "ade_avg": 1.0, "fde_avg": 2.0}
+
+    monkeypatch.setattr(Trainer, "evaluate", const_eval)
+    base = ["train", "--data", toy_npz, "--epochs", "5",
+            "--h-size", "16", "--batch-size", "32",
+            "--save-interval", "50", "--test-interval", "1",
+            "--dataset", "toy", "--ade-stall-recover", "1"]
+    rc = cli_main(base + ["--model-dir", str(tmp_path / "a"),
+                          "--ade-stall-grace", "0",
+                          "--ade-stall-max-rescues", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("ADE STALLED") == 2          # capped after rescue 2
+
+    rc = cli_main(base + ["--model-dir", str(tmp_path / "b")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("ADE STALLED") == 1          # grace 2 absorbs evals
