@@ -146,8 +146,15 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
         done += block
         rng, sub = jax.random.split(rng)
         ev = trainer.evaluate(state, sub, n_gen_samples=20)
+        # ade_avg20/ade_min20 gap = K-sample diversity (collapse =>
+        # avg≈min); train_ade vs ade = train/held-out gap — both free
+        # (evaluate computes avg anyway; train_ade rides the epoch
+        # metrics), and together they classify a stalled fold: mode
+        # collapse vs bad-but-diverse equilibrium vs overfit.
         curve.append({"epoch": done, "ade_min20": round(ev["ade_min"], 4),
                       "fde_min20": round(ev["fde_min"], 4),
+                      "ade_avg20": round(ev["ade_avg"], 4),
+                      "train_ade": round(m.get("train_ade", float("nan")), 4),
                       "d_loss": round(m["d_loss"], 4),
                       "g_loss": round(m["g_loss"], 4)})
         if ev["ade_min"] < best["ade_min20"]:

@@ -320,8 +320,12 @@ def run_leave_one_out(
                         "best_at_epoch": done}
                 best_state = state
             if verbose:
+                # avg-of-K alongside min-of-K: avg≈min means the K
+                # samples collapsed (no diversity) — the cheap stall
+                # classifier measured in benchmarks/ethucy_timematched
                 print(f"  [{held_out}] eval @{done}: min-ADE/FDE "
                       f"{ev['ade_min']:.3f}/{ev['fde_min']:.3f} "
+                      f"avg {ev['ade_avg']:.3f} "
                       f"(best {best['best_ade_min']:.3f} "
                       f"@{best['best_at_epoch']})")
             if not ade_stall_recover:
