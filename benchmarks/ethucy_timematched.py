@@ -57,9 +57,9 @@ def main():
                     help="ADE-stall rescue: after N eval blocks without a "
                          ">2%% best-ADE improvement, restore the best-so-"
                          "far state and re-initialize D + its optimizer "
-                         "on a fresh key (the production --stall-reset-d "
-                         "recipe, cli/main.py:562-586, keyed on eval ADE "
-                         "instead of toy coverage). 0 = off")
+                         "on a fresh key (the production "
+                         "--ade-stall-recover mechanism — shared "
+                         "bookkeeping in engine/rescue.py). 0 = off")
     ap.add_argument("--stall-grace", type=int, default=0,
                     help="post-rescue grace: skip stall counting for G "
                          "eval blocks after each rescue (G re-trains "
@@ -67,10 +67,12 @@ def main():
                          "measured transient doubles ADE for 1-2 blocks "
                          "before recovery, r4k log)")
     ap.add_argument("--stall-max-rescues", type=int, default=0,
-                    help="stop rescuing after M rescues that produced no "
-                         "new global best (each ineffective rescue costs "
-                         "a transient; fold-level thrash measured in the "
-                         "r4k queue). 0 = unlimited")
+                    help="stop once M consecutive rescues produced no "
+                         "new global best (the first rescue is never "
+                         "counted — no prior rescue to judge — so up to "
+                         "M+1 rescues can fire per stall episode; each "
+                         "ineffective rescue costs a transient, r4k "
+                         "thrash measurements). 0 = unlimited")
     args = ap.parse_args()
 
     if args.cpu:
@@ -122,15 +124,14 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
     state = trainer.init_state()
     rng = jax.random.PRNGKey(args.seed)
 
+    from socialways_tpu.engine.rescue import (StallTracker,
+                                              reinit_discriminator)
+
     best = {"ade_min20": float("inf"), "fde_min20": float("inf"),
             "at_epoch": 0}
     best_state = state  # pytrees are immutable; this is a cheap alias
-    stall_bar = float("inf")
-    stall = 0
-    grace = 0
-    ineffective = 0
-    best_at_last_rescue = float("inf")
-    rescues = []
+    tracker = StallTracker(args.stall_blocks, grace=args.stall_grace,
+                           max_rescues=args.stall_max_rescues)
     curve = []
     train_s = 0.0
     done = 0
@@ -163,52 +164,27 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
                     "at_epoch": done}
             best_state = state
         print(curve[-1], flush=True)
-        if args.stall_blocks:
-            if grace > 0:
-                grace -= 1
-                continue
-            if ev["ade_min"] < 0.98 * stall_bar:
-                stall_bar = ev["ade_min"]
-                stall = 0
-            else:
-                stall += 1
-            capped = (args.stall_max_rescues
-                      and ineffective >= args.stall_max_rescues)
-            if stall >= args.stall_blocks and done < args.epochs \
-                    and not capped:
-                # stalled adversarial equilibrium: restore the best G/EMA
-                # seen so far and give it a FRESH discriminator (the
-                # --stall-reset-d mechanism; schedule clocks rewind with
-                # the restore, so the noise anneal replays from the best
-                # epoch — acceptable for an anneal-to-floor schedule)
-                import jax.numpy as jnp
-                from socialways_tpu.engine.train_step import make_optimizers
-                from socialways_tpu.models.discriminator import \
-                    init_discriminator
-                rng, kd = jax.random.split(rng)
-                d_params = init_discriminator(kd, cfg, jnp.dtype(cfg.dtype))
-                _, d_tx = make_optimizers(cfg)
-                state = best_state._replace(d_params=d_params,
-                                            d_opt=d_tx.init(d_params))
-                if best["ade_min20"] < best_at_last_rescue * 0.98:
-                    ineffective = 0          # the last rescue found a
-                else:                        # new basin — reset the cap
-                    ineffective += 1
-                best_at_last_rescue = best["ade_min20"]
-                rescues.append(done)
-                stall = 0
-                grace = args.stall_grace
-                stall_bar = best["ade_min20"]
-                print({"rescue_at": done, "from_best_epoch":
-                       best["at_epoch"], "ineffective_streak": ineffective},
-                      flush=True)
+        if tracker.observe(ev["ade_min"]) and done < args.epochs:
+            # stalled adversarial equilibrium: restore the best G/EMA
+            # seen so far and give it a FRESH discriminator (the
+            # --ade-stall-recover mechanism; schedule clocks rewind
+            # with the restore, so the noise anneal replays from the
+            # best epoch — acceptable for an anneal-to-floor schedule).
+            # NB the D key deliberately comes off the TRAIN stream —
+            # byte-compatible with every r4k/r4l matrix artifact.
+            rng, kd = jax.random.split(rng)
+            state = reinit_discriminator(best_state, cfg, kd)
+            streak = tracker.fired(best["ade_min20"], at_epoch=done)
+            print({"rescue_at": done, "from_best_epoch":
+                   best["at_epoch"], "ineffective_streak": streak},
+                  flush=True)
 
     total_s = time.perf_counter() - tic_total
     return {
         "fold": fold_name, "epochs": args.epochs,
         "steps": trainer.n_steps_per_epoch * args.epochs,
         "best": best, "final": curve[-1],
-        "rescues": rescues,
+        "rescues": tracker.rescues,
         "train_time_s": round(train_s, 1),
         "total_wall_s": round(total_s, 1),
         "reference_comparison": {

@@ -163,10 +163,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "recovery (counting those re-fires the rescue "
                         "mid-recovery)")
     p.add_argument("--ade-stall-max-rescues", type=int, default=3,
-                   help="stop ADE-stall rescuing after M consecutive "
-                        "rescues produce no new global best (each "
-                        "ineffective rescue costs a transient; 0 = "
-                        "unlimited)")
+                   help="stop ADE-stall rescuing once M consecutive "
+                        "rescues produce no new global best (the first "
+                        "rescue is never counted — no prior rescue to "
+                        "judge — so up to M+1 rescues can fire per "
+                        "stall episode; each ineffective rescue costs "
+                        "a transient; 0 = unlimited)")
     p.add_argument("--rescue-keep-clock", action="store_true",
                    help="checkpoint-restore rescues (--auto-recover, "
                         "--stall-recover) keep the optimizer step counts "
@@ -480,11 +482,17 @@ def cmd_train(args) -> int:
     best_train_ade = float("inf")
     best_cov = -1.0
     cov_stall = 0
-    ade_stall = 0
-    ade_stall_bar = float("inf")
-    ade_stall_grace = 0
-    ade_rescues_ineffective = 0
-    ade_best_at_last_rescue = float("inf")
+    from socialways_tpu.engine.rescue import StallTracker
+    ade_tracker = StallTracker(args.ade_stall_recover,
+                               grace=args.ade_stall_grace,
+                               max_rescues=args.ade_stall_max_rescues)
+    if args.ade_stall_recover and (trainer.test_packed is None
+                                   or cfg.test_interval > cfg.n_epochs):
+        # the stall machine lives inside the periodic-eval block; with
+        # no test split (or an interval past run end) it can never fire
+        print("WARNING: --ade-stall-recover is inert — the dataset has "
+              "no test split or --test-interval exceeds --epochs, so "
+              "no evals (and no rescues) will run")
     bestcov_file = os.path.join(cfg.model_dir,
                                 f"{args.model}-{cfg.dataset}-bestcov.npz")
     state = trainer.init_state()
@@ -571,59 +579,31 @@ def cmd_train(args) -> int:
                 best_ade = ev["ade_min"]
                 save_checkpoint(best_file, state, epoch, rng, ds.scale)
                 print(f"new best (ADE {best_ade:.3f}) saved to {best_file}")
-            if args.ade_stall_recover and ade_stall_grace > 0:
-                # post-rescue transient (G vs the fresh random D): don't
-                # count these evals as stalls
-                ade_stall_grace -= 1
-            elif args.ade_stall_recover:
-                if ev["ade_min"] < 0.98 * ade_stall_bar:
-                    ade_stall_bar = ev["ade_min"]
-                    ade_stall = 0
-                else:
-                    ade_stall += 1
-                capped = (args.ade_stall_max_rescues
-                          and ade_rescues_ineffective
-                          >= args.ade_stall_max_rescues)
-                if (ade_stall >= args.ade_stall_recover
-                        and not capped
-                        and epoch < cfg.n_epochs
-                        and checkpoint_exists(best_file)):
-                    pre_rescue = state
-                    state, b_epoch, _, _ = restore_checkpoint(best_file,
-                                                              state)
-                    if getattr(args, "rescue_keep_clock", False):
-                        from socialways_tpu.engine import \
-                            transplant_schedule_clock
-                        state = transplant_schedule_clock(state, pre_rescue)
-                    # fresh adversarial landscape (--stall-reset-d's move,
-                    # keyed on eval ADE; validated on the LOO protocol —
-                    # benchmarks/ethucy_timematched.py --stall-blocks)
-                    from socialways_tpu.engine.train_step import \
-                        make_optimizers
-                    from socialways_tpu.models.discriminator import \
-                        init_discriminator
-                    import jax.numpy as jnp
-                    rng, kd = jax.random.split(rng)
-                    d_params = init_discriminator(kd, cfg,
-                                                  jnp.dtype(cfg.dtype))
-                    _, d_tx = make_optimizers(cfg)
-                    state = state._replace(d_params=d_params,
-                                           d_opt=d_tx.init(d_params))
-                    if best_ade < ade_best_at_last_rescue * 0.98:
-                        ade_rescues_ineffective = 0
-                    else:
-                        ade_rescues_ineffective += 1
-                    ade_best_at_last_rescue = best_ade
-                    ade_stall = 0
-                    ade_stall_grace = args.ade_stall_grace
-                    ade_stall_bar = best_ade
-                    print(f"ADE STALLED at epoch {epoch} (best "
-                          f"{best_ade:.3f} unimproved for "
-                          f"{args.ade_stall_recover} evals); restored best "
-                          f"checkpoint from epoch {b_epoch} with a "
-                          f"RE-INITIALIZED discriminator")
-                    _log_metrics(args.metrics_log, kind="rescue",
-                                 epoch=epoch, ade_stall=True)
+            if (ade_tracker.observe(ev["ade_min"])
+                    and epoch < cfg.n_epochs
+                    and checkpoint_exists(best_file)):
+                pre_rescue = state
+                state, b_epoch, _, _ = restore_checkpoint(best_file,
+                                                          state)
+                if getattr(args, "rescue_keep_clock", False):
+                    from socialways_tpu.engine import \
+                        transplant_schedule_clock
+                    state = transplant_schedule_clock(state, pre_rescue)
+                # fresh adversarial landscape (--stall-reset-d's move,
+                # keyed on eval ADE; validated on the LOO protocol —
+                # benchmarks/ethucy_timematched.py --stall-blocks)
+                from socialways_tpu.engine.rescue import \
+                    reinit_discriminator
+                rng, kd = jax.random.split(rng)
+                state = reinit_discriminator(state, cfg, kd)
+                ade_tracker.fired(best_ade, at_epoch=epoch)
+                print(f"ADE STALLED at epoch {epoch} (best "
+                      f"{best_ade:.3f} unimproved for "
+                      f"{args.ade_stall_recover} evals); restored best "
+                      f"checkpoint from epoch {b_epoch} with a "
+                      f"RE-INITIALIZED discriminator")
+                _log_metrics(args.metrics_log, kind="rescue",
+                             epoch=epoch, ade_stall=True)
             if args.track_coverage:
                 cov = _eval_coverage(trainer, state, ds, cfg, rng)
                 print(f"mode coverage = {cov:.2f}")
@@ -655,18 +635,10 @@ def cmd_train(args) -> int:
                         cov_stall = 0
                         extra = ""
                         if args.stall_reset_d:
-                            from socialways_tpu.engine.train_step import \
-                                make_optimizers
-                            from socialways_tpu.models.discriminator import \
-                                init_discriminator
-                            import jax.numpy as jnp
+                            from socialways_tpu.engine.rescue import \
+                                reinit_discriminator
                             rng, kd = jax.random.split(rng)
-                            d_params = init_discriminator(
-                                kd, cfg, jnp.dtype(cfg.dtype))
-                            _, d_tx = make_optimizers(cfg)
-                            state = state._replace(
-                                d_params=d_params,
-                                d_opt=d_tx.init(d_params))
+                            state = reinit_discriminator(state, cfg, kd)
                             extra = " with a RE-INITIALIZED discriminator"
                         print(f"coverage STALLED at epoch {epoch} "
                               f"({cov:.2f} < best {best_cov:.2f}); "

@@ -24,6 +24,7 @@ import numpy as np
 from socialways_tpu.config import TrainConfig
 from socialways_tpu.data.dataset import TrajectoryDataset
 from socialways_tpu.data.scale import Scale
+from socialways_tpu.engine.rescue import StallTracker, reinit_discriminator
 from socialways_tpu.engine.trainer import Trainer
 
 SCENES = ("eth", "hotel", "univ", "zara1", "zara2")
@@ -258,9 +259,16 @@ def run_leave_one_out(
     and the measured post-rescue transient doubles ADE for 1-2 eval
     blocks before recovery (benchmarks/tpu_runbook_r4k.log) — counting
     those blocks re-fires the rescue mid-recovery.
-    ``ade_stall_max_rescues`` stops rescuing after that many
-    consecutive rescues produce no new global best (each ineffective
-    rescue costs a transient; unbounded retries measurably thrash).
+    ``ade_stall_max_rescues`` stops rescuing once the consecutive-
+    ineffective streak reaches that count (each ineffective rescue
+    costs a transient; unbounded retries measurably thrash).  The
+    first rescue is never counted — there is no prior rescue to judge
+    — so up to max_rescues + 1 rescues can execute per stall episode
+    (see engine/rescue.py).
+
+    Eval and rescue keys come from streams independent of the training
+    stream, so arming ``eval_every``/``ade_stall_recover`` does not
+    perturb the training keys of a same-seed run.
     """
     n_epochs = n_epochs or cfg.n_epochs
     if ade_stall_recover and eval_every <= 0:
@@ -283,27 +291,38 @@ def run_leave_one_out(
                           files[held_out])
         trainer = Trainer(cfg, ds)
         state = trainer.init_state()
+        # three independent streams so the NUMBER of evals/rescues does
+        # not perturb the training keys: a run with --eval-every N and
+        # one with final-eval-only at the same seed train on the same
+        # key sequence (no observer effect; within-block key derivation
+        # still depends on the block partitioning, as with --block-size)
         rng = jax.random.PRNGKey(cfg.seed)
+        eval_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 1)
+        rescue_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 2)
 
         best = {"best_ade_min": float("inf"), "best_fde_min": float("inf"),
                 "best_at_epoch": 0}
         best_state = state            # pytrees are immutable; cheap alias
-        stall_bar = float("inf")
-        stall = 0
-        grace = 0
-        ineffective = 0
-        best_at_last_rescue = float("inf")
-        rescues = []
-        tic = time.perf_counter()
+        tracker = StallTracker(ade_stall_recover, grace=ade_stall_grace,
+                               max_rescues=ade_stall_max_rescues)
+        tic_total = time.perf_counter()
+        train_time = 0.0
         done = 0
+        last_ev = None                # in-loop eval reused as the final
+        last_ev_at = -1               # eval when the epochs line up
         next_eval = eval_every if eval_every > 0 else n_epochs + 1
         while done < n_epochs:
             block = min(fused_block, n_epochs - done, next_eval - done)
             rng, sub = jax.random.split(rng)
+            tic = time.perf_counter()
             if block > 1:
                 state, m = trainer.train_epochs(state, sub, block)
             else:
                 state, m = trainer.train_epoch(state, sub)
+            # train_epochs' float(metrics) forces the host transfer that
+            # syncs on axon, so this window really is train-step time;
+            # eval/rescue time is excluded (total_wall_s carries it)
+            train_time += time.perf_counter() - tic
             done += block
             if verbose and (done % max(fused_block * 5, 1) == 0
                             or done == n_epochs):
@@ -312,8 +331,9 @@ def run_leave_one_out(
             if done < next_eval:
                 continue
             next_eval += eval_every
-            rng, sub = jax.random.split(rng)
+            eval_rng, sub = jax.random.split(eval_rng)
             ev = trainer.evaluate(state, sub)
+            last_ev, last_ev_at = ev, done
             if ev["ade_min"] < best["best_ade_min"]:
                 best = {"best_ade_min": ev["ade_min"],
                         "best_fde_min": ev["fde_min"],
@@ -328,59 +348,34 @@ def run_leave_one_out(
                       f"avg {ev['ade_avg']:.3f} "
                       f"(best {best['best_ade_min']:.3f} "
                       f"@{best['best_at_epoch']})")
-            if not ade_stall_recover:
-                continue
-            if grace > 0:
-                grace -= 1
-                continue
-            if ev["ade_min"] < 0.98 * stall_bar:
-                stall_bar = ev["ade_min"]
-                stall = 0
-            else:
-                stall += 1
-            capped = (ade_stall_max_rescues
-                      and ineffective >= ade_stall_max_rescues)
-            if stall >= ade_stall_recover and done < n_epochs \
-                    and not capped:
+            if tracker.observe(ev["ade_min"]) and done < n_epochs:
                 # stalled adversarial equilibrium: restore the best state
                 # seen and give it a FRESH discriminator (the production
                 # --stall-reset-d move keyed on eval ADE; schedule clocks
                 # rewind with the restore)
-                import jax.numpy as jnp
-
-                from socialways_tpu.engine.train_step import make_optimizers
-                from socialways_tpu.models.discriminator import \
-                    init_discriminator
-                rng, kd = jax.random.split(rng)
-                d_params = init_discriminator(kd, cfg, jnp.dtype(cfg.dtype))
-                _, d_tx = make_optimizers(cfg)
-                state = best_state._replace(d_params=d_params,
-                                            d_opt=d_tx.init(d_params))
-                if best["best_ade_min"] < best_at_last_rescue * 0.98:
-                    ineffective = 0          # last rescue found a new
-                else:                        # basin — reset the cap
-                    ineffective += 1
-                best_at_last_rescue = best["best_ade_min"]
-                rescues.append(done)
-                stall = 0
-                grace = ade_stall_grace
-                stall_bar = best["best_ade_min"]
+                rescue_rng, kd = jax.random.split(rescue_rng)
+                state = reinit_discriminator(best_state, cfg, kd)
+                tracker.fired(best["best_ade_min"], at_epoch=done)
                 if verbose:
                     print(f"  [{held_out}] ADE stalled @{done}; restored "
                           f"best (epoch {best['best_at_epoch']}) with a "
                           f"re-initialized discriminator")
-        train_time = time.perf_counter() - tic
+        total_wall = time.perf_counter() - tic_total
 
-        rng, sub = jax.random.split(rng)
-        ev = trainer.evaluate(state, sub)
+        if last_ev_at == done:
+            ev = last_ev              # the loop already evaluated this
+        else:                         # exact state — don't re-draw it
+            eval_rng, sub = jax.random.split(eval_rng)
+            ev = trainer.evaluate(state, sub)
         ev["train_time_s"] = train_time
+        ev["total_wall_s"] = total_wall
         if eval_every > 0:
             if ev["ade_min"] < best["best_ade_min"]:
                 best = {"best_ade_min": ev["ade_min"],
                         "best_fde_min": ev["fde_min"],
                         "best_at_epoch": done}
             ev.update(best)
-            ev["rescues"] = rescues
+            ev["rescues"] = tracker.rescues
         results[held_out] = ev
         if verbose:
             print(f"{held_out}: ADE/FDE (min-{cfg.n_gen_samples}) = "

@@ -1,0 +1,118 @@
+"""Eval-keyed stall detection + discriminator-reset rescue.
+
+One shared implementation of the bookkeeping that previously lived in
+three near-identical copies (``cli train``'s ``--ade-stall-recover``
+loop, :func:`engine.ethucy.run_leave_one_out`, and the
+``benchmarks/ethucy_timematched.py`` harness).  The mechanism itself is
+the production ``--stall-reset-d`` move measured in BASELINE.md's r4k/
+r4l rescue matrices: a GAN stuck in a bad-but-stable early equilibrium
+(flat eval ADE, healthy-looking adversarial losses) is usually
+metastable — restoring the best generator seen so far and giving it a
+FRESH random discriminator kicks it into a better basin.
+
+Two policy refinements, both measured in the r4k queue
+(``benchmarks/tpu_runbook_r4k.log``):
+
+* **grace** — after each rescue, G re-trains against the fresh random D
+  and the eval ADE transiently DOUBLES for 1-2 eval blocks before
+  recovering; counting those blocks as stalls re-fires the rescue
+  mid-recovery.  ``grace`` skips stall counting for that many evals
+  after each rescue.
+* **ineffective-rescue cap** — consecutive rescues that find no new
+  basin thrash the run (each costs a transient; univ/seed-3 in the r4k
+  matrix fired 5 rescues and finished 2.4x worse than no-rescue).
+  ``max_rescues`` stops rescuing once the *consecutive-ineffective*
+  streak reaches that count.  A rescue is judged at the NEXT rescue's
+  fire time: if no new global best (>2% better) appeared since the
+  previous rescue, the streak grows, else it resets.  The first rescue
+  is never counted — there is no prior rescue to judge — so up to
+  ``max_rescues + 1`` rescues can execute in a single stall episode.
+
+The reference has no failure-handling story at all (SURVEY §5.3); this
+subsystem is TPU-framework-native.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from socialways_tpu.config import TrainConfig
+
+
+class StallTracker:
+    """Stall/rescue bookkeeping keyed on a monotone "lower is better"
+    eval metric (eval ADE here; the toy coverage path keys on coverage
+    and keeps its own simpler counter).
+
+    Protocol, once per eval::
+
+        if tracker.observe(ev["ade_min"]) and done < n_epochs:
+            state = reinit_discriminator(best_state, cfg, key)
+            streak = tracker.fired(best_ade, at_epoch=done)
+
+    ``observe`` returns True when a rescue should fire now (patience
+    exhausted, not in a post-rescue grace window, ineffective-streak
+    cap not reached).  Callers keep their own end-of-run / checkpoint-
+    exists guards.
+    """
+
+    def __init__(self, patience: int, grace: int = 0,
+                 max_rescues: int = 0, improve: float = 0.98):
+        self.patience = patience
+        self.grace_n = grace
+        self.max_rescues = max_rescues
+        self.improve = improve
+        self.bar = float("inf")
+        self.stall = 0
+        self.grace = 0
+        self.ineffective = 0
+        self.best_at_last_rescue = float("inf")
+        self.rescues: List[int] = []
+
+    def observe(self, ade: float) -> bool:
+        """Record one eval; True when a rescue should fire now."""
+        if not self.patience:
+            return False
+        if self.grace > 0:
+            # post-rescue transient (G vs the fresh random D): these
+            # evals neither count as stalls nor move the bar
+            self.grace -= 1
+            return False
+        if ade < self.improve * self.bar:
+            self.bar = ade
+            self.stall = 0
+        else:
+            self.stall += 1
+        capped = (self.max_rescues
+                  and self.ineffective >= self.max_rescues)
+        return self.stall >= self.patience and not capped
+
+    def fired(self, best_ade: float, at_epoch: int) -> int:
+        """Record a rescue that just fired; returns the consecutive-
+        ineffective streak (0 = the interval since the previous rescue
+        produced a new global best)."""
+        if best_ade < self.best_at_last_rescue * self.improve:
+            self.ineffective = 0      # the last rescue found a new
+        else:                         # basin — reset the cap
+            self.ineffective += 1
+        self.best_at_last_rescue = best_ade
+        self.rescues.append(at_epoch)
+        self.stall = 0
+        self.grace = self.grace_n
+        self.bar = best_ade
+        return self.ineffective
+
+
+def reinit_discriminator(state, cfg: TrainConfig, key: jax.Array):
+    """Fresh discriminator params + optimizer on ``key``; G/EMA and the
+    G optimizer (with its schedule clock) are untouched.  The core of
+    the ``--stall-reset-d`` rescue."""
+    from socialways_tpu.engine.train_step import make_optimizers
+    from socialways_tpu.models.discriminator import init_discriminator
+
+    d_params = init_discriminator(key, cfg, jnp.dtype(cfg.dtype))
+    _, d_tx = make_optimizers(cfg)
+    return state._replace(d_params=d_params, d_opt=d_tx.init(d_params))

@@ -1172,3 +1172,56 @@ def test_info_weight_schedule():
     _, m_const = gan_step(st, batch, rng, base)
     assert abs(float(m_ramp.g_loss) - float(m_const.g_loss)) > 1e-4
     assert np.isfinite(float(m_ramp.g_loss))
+
+
+def test_stall_tracker_semantics():
+    """StallTracker (engine/rescue.py): patience counting with the 2%
+    improvement bar, post-rescue grace absorption, and the consecutive-
+    ineffective cap with its documented first-rescue-never-counted
+    semantics (up to max_rescues + 1 rescues per stall episode)."""
+    from socialways_tpu.engine.rescue import StallTracker
+
+    # patience=0 => disabled entirely
+    t = StallTracker(0)
+    assert not any(t.observe(1.0) for _ in range(5))
+
+    # a >2% improvement resets the stall counter; <2% does not
+    t = StallTracker(2)
+    assert not t.observe(1.00)          # sets the bar
+    assert not t.observe(0.97)          # 3% better -> bar moves, stall 0
+    assert not t.observe(0.96)          # ~1% -> stall 1
+    assert t.observe(0.955)             # still <2% -> stall 2 -> fire
+    t.fired(0.955, at_epoch=4)
+    assert t.rescues == [4] and t.bar == 0.955
+
+    # grace: the next `grace` observes are absorbed (no counting at all)
+    t = StallTracker(1, grace=2)
+    assert t.observe(1.0) is False and t.observe(1.0) is True
+    t.fired(1.0, at_epoch=2)
+    assert not t.observe(5.0)           # grace 1 (transient ignored)
+    assert not t.observe(5.0)           # grace 2
+    assert t.observe(1.0)               # counting resumes; patience 1
+                                        # reached (bar 1.0, no improve)
+
+    # cap: first rescue never judged; with max_rescues=1 exactly two
+    # rescues fire when no new best appears, then the cap blocks.
+    # (patience=1: the first eval that sets the bar doesn't count a
+    # stall, the next non-improving eval fires)
+    t = StallTracker(1, max_rescues=1)
+    assert t.observe(1.0) is False and t.observe(1.0) is True
+    assert t.fired(1.0, at_epoch=2) == 0     # first rescue: streak 0
+    # after fired() the bar is the best ADE, so a non-improving eval
+    # immediately exhausts patience 1 again
+    assert t.observe(1.0) is True
+    assert t.fired(1.0, at_epoch=3) == 1     # ineffective: streak 1
+    assert not any(t.observe(1.0) for _ in range(4))   # capped
+
+    # ...but a new global best (>2% under the best at last rescue)
+    # resets the streak and re-arms rescuing
+    t = StallTracker(1, max_rescues=1)
+    t.observe(1.0)
+    assert t.observe(1.0) is True
+    t.fired(1.0, at_epoch=2)
+    assert t.observe(0.9) is False           # >2% better: bar moves
+    assert t.observe(0.9) is True            # then stalls again
+    assert t.fired(0.9, at_epoch=4) == 0     # 0.9 < 0.98 * 1.0 -> reset

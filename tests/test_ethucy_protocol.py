@@ -184,5 +184,6 @@ def test_loo_eval_every_best_tracking_and_stall_rescue(tmp_path,
         assert r["best_at_epoch"] == 1                  # first eval wins
         # evals at 1,2,3,4: stall fires at 2 and 3; 4 is run end
         assert r["rescues"] == [2, 3]
-    # 4 in-training evals + 1 final, per fold
-    assert len(evals) == 2 * 5
+    # 4 in-training evals per fold; the final eval REUSES the last
+    # in-loop eval (same state, epochs aligned) instead of re-drawing
+    assert len(evals) == 2 * 4
