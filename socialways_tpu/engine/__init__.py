@@ -17,6 +17,7 @@ from socialways_tpu.engine.simulate import (
     make_crowd_sim,
 )
 from socialways_tpu.engine.ethucy import merge_scenes, run_leave_one_out
+from socialways_tpu.engine.rescue import StallTracker, reinit_discriminator
 from socialways_tpu.engine import losses
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "crowd_simulate", "crowd_simulate_sharded", "make_crowd_sim",
     "merge_scenes",
     "run_leave_one_out",
+    "StallTracker", "reinit_discriminator",
 ]
