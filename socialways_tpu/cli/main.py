@@ -68,7 +68,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "auto-recover; inoise2 = + annealed D instance "
                         "noise; flagship = + --agent-frame --use-social "
                         "--g-ema-decay 0.999). Explicit flags given "
-                        "AFTER --recipe override the bundle")
+                        "AFTER --recipe override the bundle. These are "
+                        "TOY recipes: the categorical/cooled-D/info-1.0 "
+                        "bundle measured 6.8x WORSE than default "
+                        "hyperparameters on the ETH/UCY LOO protocol "
+                        "(BASELINE.md r4m A/B) — for trajectory data "
+                        "use the documented record-arm flags instead")
     p.add_argument("--batch-size", "--b", type=int, default=256)
     p.add_argument("--epochs", "--e", type=int, default=1000)
     p.add_argument("--model", "--m", default="socialWays",
