@@ -9,6 +9,8 @@ fixed slot order (blue/orange/aqua — the documented 3-slot all-pairs
 validated combination), thin baseline-anchored bars with surface gaps,
 selective direct labels (record cells only), recessive grid.
 
+Direct labels annotate the overall record and worst cells only.
+
 Usage: python benchmarks/fig_loo_rescue.py [--out figs/loo-rescue-ab.png]
 """
 
@@ -60,7 +62,7 @@ def main():
     ax.set_facecolor(SURFACE)
 
     width = 0.26
-    lowest = {}
+    cells = []                       # (value, bar-x) across all arms
     for ai, (label, color, files) in enumerate(ARMS):
         xs, ys = [], []
         for s in seeds:
@@ -69,12 +71,9 @@ def main():
                 ys.append(avg_best(files[s]))
         ax.bar(xs, ys, width=width, color=color, label=label, zorder=3,
                edgecolor=SURFACE, linewidth=1.0)
-        for x, y in zip(xs, ys):
-            lowest.setdefault(round(x - (ai - 1) * (width + 0.02)), []) \
-                  .append((y, x))
+        cells.extend(zip(ys, xs))
 
     # selective direct labels: the overall record and the worst cell
-    cells = [(y, x) for v in lowest.values() for (y, x) in v]
     for y, x in (min(cells), max(cells)):
         ax.annotate(f"{y:.3f}", (x, y), xytext=(0, 3),
                     textcoords="offset points", ha="center",

@@ -64,6 +64,47 @@ def summarize(fname: str) -> dict:
     }
 
 
+def classify(rows: dict) -> str:
+    """Classify each STALLED run from its computed ratios (the healthy
+    control is context, not classified).  Thresholds: flat = <10%
+    min-ADE improvement first->second half; collapse = avg-of-K within
+    1.5x of min-of-K; overfit = train ADE under half the eval avg;
+    otherwise broad under-fit (diverse samples, bad everywhere)."""
+    verdicts = []
+    for label, r in rows.items():
+        if "missing" in r:
+            verdicts.append(f"{label}: artifact missing ({r['missing']}) "
+                            "— no classification")
+            continue
+        if "healthy" in label:
+            continue
+        improve = 1.0 - r["min_second_half"] / max(r["min_first_half"],
+                                                   1e-9)
+        if improve >= 0.10:
+            verdicts.append(f"{label}: NOT STALLED in this re-run "
+                            f"(min-ADE improved {improve:.0%} "
+                            "first->second half)")
+            continue
+        if r["avg_over_min"] <= 1.5:
+            mech = ("MODE COLLAPSE: avg-of-K ~ min-of-K "
+                    f"({r['avg_over_min']}x) — the K samples carry no "
+                    "diversity")
+        elif r["train_over_avg"] <= 0.5:
+            mech = ("OVERFIT: train ADE is "
+                    f"{r['train_over_avg']}x the eval avg — good on "
+                    "train, bad held-out")
+        else:
+            mech = ("BROAD-DISTRIBUTION UNDER-FIT equilibrium: samples "
+                    f"stay diverse (avg/min {r['avg_over_min']}x) and "
+                    "train ADE tracks the eval avg "
+                    f"({r['train_over_avg']}x) — G emits a high-variance "
+                    "distribution whose center never sharpens; the LSGAN "
+                    "losses cannot see it, which is why the fresh-D "
+                    "rescue converts it")
+        verdicts.append(f"{label}: stalled, {mech}")
+    return "  |  ".join(verdicts) if verdicts else "no runs to classify"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="")
@@ -78,18 +119,7 @@ def main():
     for label, r in rows.items():
         print(label, json.dumps(r))
 
-    verdict = (
-        "Stalled folds keep avg-of-K >> min-of-K (no mode collapse: the "
-        "K samples stay diverse) while train ADE tracks the eval "
-        "avg-of-K (no overfit: the model is equally bad on its own "
-        "training data).  The stall is a BROAD-DISTRIBUTION UNDER-FIT "
-        "equilibrium: G emits a high-variance predictive distribution "
-        "whose center never sharpens, min-of-20 harvests lucky samples, "
-        "and the LSGAN losses sit at the same values as healthy runs "
-        "(the D cannot see the miscalibration).  Consistent with the "
-        "fresh-D rescue converting it: a re-initialized D changes the "
-        "adversarial landscape and G re-converges toward the data."
-    )
+    verdict = classify(rows)
     print("\nVERDICT:", verdict)
     if args.out:
         with open(args.out, "w") as fh:

@@ -492,12 +492,15 @@ def cmd_train(args) -> int:
                                grace=args.ade_stall_grace,
                                max_rescues=args.ade_stall_max_rescues)
     if args.ade_stall_recover and (trainer.test_packed is None
-                                   or cfg.test_interval > cfg.n_epochs):
+                                   or cfg.test_interval >= cfg.n_epochs):
         # the stall machine lives inside the periodic-eval block; with
-        # no test split (or an interval past run end) it can never fire
+        # no test split it never evaluates, and with test_interval >=
+        # n_epochs the only eval lands at run end where the rescue's
+        # epoch < n_epochs guard always blocks it
         print("WARNING: --ade-stall-recover is inert — the dataset has "
-              "no test split or --test-interval exceeds --epochs, so "
-              "no evals (and no rescues) will run")
+              "no test split or --test-interval reaches --epochs (the "
+              "only eval would land at run end, where rescue is "
+              "pointless), so no rescue can ever fire")
     bestcov_file = os.path.join(cfg.model_dir,
                                 f"{args.model}-{cfg.dataset}-bestcov.npz")
     state = trainer.init_state()

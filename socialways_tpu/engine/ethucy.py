@@ -236,7 +236,12 @@ def run_leave_one_out(
     ade_stall_max_rescues: int = 3,
 ) -> Dict[str, Dict[str, float]]:
     """Train + evaluate each leave-one-out fold.  Returns
-    {scene: {ade_min, fde_min, ade_avg, fde_avg, train_time_s}}.
+    {scene: {ade_min, fde_min, ade_avg, fde_avg, train_time_s,
+    total_wall_s}}, plus {best_ade_min, best_fde_min, best_at_epoch,
+    rescues} when ``eval_every`` > 0.  ``train_time_s`` counts ONLY
+    the train-step windows (eval/rescue time excluded — artifacts
+    produced before 2026-08-19 used whole-loop wall time here);
+    ``total_wall_s`` is the whole fold loop.
 
     ``eval_every`` > 0 evaluates the held-out scene every that many
     epochs during training (the reference evaluates every 5 epochs while
