@@ -768,6 +768,100 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Inference-only forecasting from a checkpoint — the serving path.
+
+    The reference cannot do this: its predict() lives inside train.py
+    and only runs on windows that carry ground-truth futures
+    (train.py:571-607).  Here a trained checkpoint forecasts (a) every
+    window of a `create-dataset` npz, or (b) "everyone in the scene
+    right now" of a RAW annotation file (`data/forecast.py` builds the
+    observation-only tail windows create_dataset drops).  Normalization
+    uses the CHECKPOINT's Scale (training-time), never refit on the
+    inference data."""
+    import jax
+    import jax.numpy as jnp
+    from socialways_tpu.data.dataset import pack_scene_batches
+    from socialways_tpu.engine.train_step import (eval_params,
+                                                  init_train_state)
+    from socialways_tpu.eval.metrics import k_sample_rollout
+    from socialways_tpu.io.checkpoint import restore_checkpoint
+    from socialways_tpu.ops.traj import predict_cv
+
+    cfg = _cfg_from_args(args)
+
+    agent_idx = at_time = None
+    n_next = args.n_next
+    if args.data.endswith(".npz"):
+        d = np.load(args.data)
+        obsvs_w = np.asarray(d["obsvs"], np.float32)        # world coords
+        batches = np.asarray(d["batches"], np.int64)
+        if "preds" in d.files:      # windowed training npz: adopt its
+            n_next = d["preds"].shape[1]   # horizon (must match the ckpt)
+    else:
+        from socialways_tpu.data import (BIWIParser, SDDParser,
+                                         SeyfriedParser, TrajnetParser)
+        from socialways_tpu.data.forecast import forecast_windows
+        parser_cls = {"biwi": BIWIParser, "trajnet": TrajnetParser,
+                      "sdd": SDDParser, "seyfried": SeyfriedParser}
+        p = parser_cls[args.parser]()
+        p.load(args.data, down_sample=args.down_sample)
+        obsvs_w, agent_idx, at_time = forecast_windows(
+            p.p_data, p.t_data, n_past=args.n_past,
+            at_time=args.at_time if args.at_time >= 0 else None)
+        obsvs_w = obsvs_w.astype(np.float32)
+        batches = np.asarray([[0, len(obsvs_w)]], np.int64)
+        print(f"forecasting {len(obsvs_w)} agents at t={at_time}")
+    cfg = cfg.replace(n_past=obsvs_w.shape[1], n_next=n_next)
+
+    template = init_train_state(jax.random.PRNGKey(0), cfg)
+    state, epoch, _, scale = restore_checkpoint(args.model_file, template)
+    if scale is None:
+        raise SystemExit("error: checkpoint carries no Scale — cannot "
+                         "normalize inference data consistently with "
+                         "training (re-save with this framework's "
+                         "save_checkpoint)")
+    print(f"loaded {args.model_file} (epoch {epoch})")
+
+    obsvs_n = scale.normalize(obsvs_w)
+    zeros_pred = np.zeros((len(obsvs_n), cfg.n_next, 2), np.float32)
+    packed = pack_scene_batches(obsvs_n, zeros_pred, batches,
+                                args.batch_size)
+
+    g_params = eval_params(state)
+    k = args.n_gen_samples
+    roll = jax.jit(lambda p, o, s, r: k_sample_rollout(p, o, s, r, k, cfg))
+    rng = jax.random.PRNGKey(cfg.seed)
+    keys = jax.random.split(rng, packed.n_chunks)
+    preds_n = np.empty((k, len(obsvs_n), cfg.n_next, 2), np.float32)
+    lnr_n = np.empty((len(obsvs_n), cfg.n_next, 2), np.float32)
+    for ci in range(packed.n_chunks):
+        out = np.asarray(roll(g_params, packed.obsvs[ci],
+                              packed.scene_ids[ci], keys[ci])[..., :2])
+        cv = np.asarray(predict_cv(jnp.asarray(packed.obsvs[ci]),
+                                   cfg.n_next)[..., :2])
+        rows = np.flatnonzero(packed.valid[ci])
+        orig = packed.row_map[ci][rows]        # original window indices
+        preds_n[:, orig] = out[:, rows]
+        lnr_n[orig] = cv[rows]
+
+    out_path = args.out or "predictions.npz"
+    payload = {
+        "obsvs": obsvs_w,
+        "preds_our": scale.denormalize(preds_n),
+        "preds_lnr": scale.denormalize(lnr_n),
+        "epoch": np.asarray(epoch, np.int64),
+        "k": np.asarray(k, np.int64),
+    }
+    if agent_idx is not None:
+        payload["agent_idx"] = agent_idx
+        payload["timestamp"] = np.asarray(at_time, np.int64)
+    np.savez(out_path, **payload)
+    print(f"wrote {out_path}: preds_our {payload['preds_our'].shape} "
+          f"(K={k}, world units) + CV baseline")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Grid over (n_unrolling_steps, loss_info_w): train each variant,
     score eval ADE/FDE + toy mode coverage + EMD (the reference compares
@@ -1060,6 +1154,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "dynamics forward)")
     _add_model_flags(p)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("predict",
+                       help="inference-only forecasting from a checkpoint "
+                            "(no ground-truth futures needed)")
+    p.add_argument("--data", required=True,
+                   help="a create-dataset npz (forecast every window) or "
+                        "a RAW annotation file (forecast everyone in the "
+                        "scene at --at-time; see --parser)")
+    p.add_argument("--model-file", required=True)
+    p.add_argument("--out", default="predictions.npz")
+    p.add_argument("--parser", default="biwi",
+                   choices=["biwi", "trajnet", "sdd", "seyfried"],
+                   help="raw-mode annotation format")
+    p.add_argument("--down-sample", type=int, default=None)
+    p.add_argument("--n-past", type=int, default=8,
+                   help="raw mode: observation window length")
+    p.add_argument("--n-next", type=int, default=12,
+                   help="forecast horizon (must match the checkpoint's "
+                        "training horizon for calibrated outputs)")
+    p.add_argument("--at-time", type=int, default=-1,
+                   help="raw mode: forecast the scene at this timestamp "
+                        "(-1 = the latest with a full-history agent)")
+    _add_model_flags(p)
+    p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("visualize", help="render prediction heatmaps")
     p.add_argument("--preds-dir", required=True)

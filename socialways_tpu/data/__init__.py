@@ -6,6 +6,7 @@ from socialways_tpu.data.parsers import (
     TrajnetParser,
 )
 from socialways_tpu.data.windowing import create_dataset
+from socialways_tpu.data.forecast import forecast_windows
 from socialways_tpu.data.toy import create_toy_samples, make_toy_npz_arrays
 from socialways_tpu.data.dataset import TrajectoryDataset, load_npz_dataset
 
@@ -16,6 +17,7 @@ __all__ = [
     "SeyfriedParser",
     "TrajnetParser",
     "create_dataset",
+    "forecast_windows",
     "create_toy_samples",
     "make_toy_npz_arrays",
     "TrajectoryDataset",

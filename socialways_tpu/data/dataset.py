@@ -112,6 +112,10 @@ class PackedBatches:
     scene_ids: np.ndarray  # [n_chunks, width] int32; -1 marks padding
     valid: np.ndarray      # [n_chunks, width] bool
     n_valid: np.ndarray    # [n_chunks] int32 — samples per chunk
+    row_map: np.ndarray = None  # [n_chunks, width] int64 — original window
+    #                             index of each packed row; -1 for padding
+    #                             (lets consumers unpack per-row outputs,
+    #                             e.g. cli predict)
 
     @property
     def n_chunks(self) -> int:
@@ -168,6 +172,7 @@ def pack_scene_batches(
     scene_ids = np.full((n_chunks, width), -1, np.int32)
     valid = np.zeros((n_chunks, width), bool)
     n_valid = np.zeros((n_chunks,), np.int32)
+    row_map = np.full((n_chunks, width), -1, np.int64)
 
     for ci, grp in enumerate(chunk_groups):
         cursor = 0
@@ -178,8 +183,9 @@ def pack_scene_batches(
             out_pred[ci, cursor:cursor + k] = preds[s:e]
             scene_ids[ci, cursor:cursor + k] = local_scene
             valid[ci, cursor:cursor + k] = True
+            row_map[ci, cursor:cursor + k] = np.arange(s, e)
             cursor += k
         n_valid[ci] = cursor
 
     return PackedBatches(obsvs=out_obs, preds=out_pred, scene_ids=scene_ids,
-                         valid=valid, n_valid=n_valid)
+                         valid=valid, n_valid=n_valid, row_map=row_map)

@@ -298,3 +298,58 @@ def test_scene_ids_for_rows():
     # a mid-batch slice keeps its batch id; rows past the end are -1
     np.testing.assert_array_equal(ds.scene_ids_for_rows(4, 7),
                                   [1, 2, 2, 2, 2, -1, -1])
+
+
+def test_forecast_windows():
+    """forecast_windows (data/forecast.py): last-n_past observation-only
+    windows — interval autodetect, gap rejection, short-history
+    rejection, default at_time = latest with a full-history agent, and
+    explicit at_time."""
+    from socialways_tpu.data.forecast import forecast_windows
+
+    # agent 0: frames 0..90 step 10 (full history everywhere)
+    # agent 1: frames 40..90 but MISSING 60 (gap)
+    # agent 2: frames 70..90 only (short history)
+    t0 = np.arange(0, 100, 10)
+    t1 = np.array([40, 50, 70, 80, 90])
+    t2 = np.array([70, 80, 90])
+    p = [np.stack([t.astype(float), t.astype(float) * 2], -1)
+         for t in (t0, t1, t2)]
+
+    obs, idx, at = forecast_windows(p, [t0, t1, t2], n_past=4)
+    assert at == 90                       # latest frame qualifies
+    np.testing.assert_array_equal(idx, [0])   # 1 has a gap, 2 too short
+    np.testing.assert_array_equal(obs[0, :, 0], [60, 70, 80, 90])
+
+    # n_past=3: agents 1 and 2 qualify too (agent 1's gap at 60 sits
+    # BEFORE its last-3 window 70/80/90)
+    obs, idx, at = forecast_windows(p, [t0, t1, t2], n_past=3)
+    np.testing.assert_array_equal(idx, [0, 1, 2])
+
+    # explicit at_time mid-stream: agent 1 needs 50/60/70 but 60 is
+    # missing (gap INSIDE the window) -> excluded; agent 2 not yet born
+    obs, idx, at = forecast_windows(p, [t0, t1, t2], n_past=3, at_time=70)
+    np.testing.assert_array_equal(idx, [0])
+    np.testing.assert_array_equal(obs[0, :, 0], [50, 60, 70])
+
+    # nothing qualifies -> ValueError
+    with pytest.raises(ValueError):
+        forecast_windows(p, [t0, t1, t2], n_past=11)
+
+
+def test_pack_scene_batches_row_map():
+    """row_map records each packed row's original window index (-1 on
+    padding) so per-row outputs can be unpacked (cli predict)."""
+    obsvs = np.arange(10, dtype=np.float32).reshape(5, 1, 2).repeat(2, 1)
+    preds = np.zeros((5, 3, 2), np.float32)
+    batches = np.array([[0, 2], [2, 3], [3, 5]], np.int64)
+    packed = pack_scene_batches(obsvs, preds, batches, batch_size=3)
+    got = {}
+    for ci in range(packed.n_chunks):
+        for r in np.flatnonzero(packed.valid[ci]):
+            orig = int(packed.row_map[ci][r])
+            got[orig] = packed.obsvs[ci, r]
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    for orig, row in got.items():
+        np.testing.assert_array_equal(row, obsvs[orig])
+    assert (packed.row_map[~packed.valid] == -1).all()

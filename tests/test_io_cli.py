@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from socialways_tpu.cli.main import main as cli_main
@@ -348,3 +349,57 @@ def test_cli_ade_stall_grace_and_rescue_cap(tmp_path, toy_npz, capsys,
     out = capsys.readouterr().out
     assert rc == 0
     assert out.count("ADE STALLED") == 1          # grace 2 absorbs evals
+
+
+@pytest.mark.slow
+def test_cli_predict_npz_and_raw(tmp_path, toy_npz, capsys):
+    """cli predict (the serving path — no reference counterpart; its
+    predict() only runs inside train.py on windows with futures,
+    train.py:571-607): forecast (a) every window of a create-dataset
+    npz and (b) the live scene of a raw obsmat, from one checkpoint,
+    normalized with the CHECKPOINT's Scale."""
+    mdir = tmp_path / "m"
+    rc = cli_main(["train", "--data", toy_npz, "--epochs", "2",
+                   "--h-size", "16", "--batch-size", "64",
+                   "--save-interval", "2", "--test-interval", "5",
+                   "--dataset", "toy", "--model-dir", str(mdir)])
+    assert rc == 0
+    ckpt = str(mdir / "socialWays-toy.npz")
+
+    out = tmp_path / "preds.npz"
+    rc = cli_main(["predict", "--data", toy_npz, "--model-file", ckpt,
+                   "--h-size", "16", "--batch-size", "64",
+                   "--out", str(out)])
+    assert rc == 0
+    d = np.load(out)
+    n = np.load(toy_npz)["obsvs"].shape[0]
+    assert d["preds_our"].shape == (20, n, 2, 2)      # [K, N, n_next, 2]
+    assert d["preds_lnr"].shape == (n, 2, 2)
+    assert np.isfinite(d["preds_our"]).all()
+    # CV commutes with the affine normalization: denorm(cv(norm(x)))
+    # == cv(x) — check a row against predict_cv run on WORLD coords
+    from socialways_tpu.ops.traj import predict_cv
+    obs = np.load(toy_npz)["obsvs"][:4]
+    world_cv = np.asarray(predict_cv(jnp.asarray(obs), 2))[..., :2]
+    np.testing.assert_allclose(d["preds_lnr"][:4], world_cv,
+                               rtol=1e-4, atol=1e-4)
+
+    # raw mode: 3 agents walking 10 frames; forecast "now"
+    raw = tmp_path / "obsmat.txt"
+    rows = []
+    for aid in range(3):
+        for f in range(10):
+            x, y = 0.5 * f + aid, 1.0 * aid - 0.1 * f
+            rows.append(f"{f * 6} {aid + 1} {x} 0 {y} 0 0 0")
+    raw.write_text("\n".join(rows) + "\n")
+    # the toy checkpoint was trained with n_past=n_next=2: match it
+    out2 = tmp_path / "preds_raw.npz"
+    rc = cli_main(["predict", "--data", str(raw), "--model-file", ckpt,
+                   "--h-size", "16", "--batch-size", "64",
+                   "--n-past", "2", "--n-next", "2",
+                   "--out", str(out2)])
+    assert rc == 0
+    d = np.load(out2)
+    assert d["preds_our"].shape == (20, 3, 2, 2)      # everyone present
+    assert int(d["timestamp"]) == 54                  # the last frame
+    assert np.isfinite(d["preds_our"]).all()
