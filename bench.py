@@ -394,6 +394,23 @@ def _run_real_reference() -> float:
         "reference_steps_per_sec"]
 
 
+def _merge_measurements(*histories) -> list:
+    """Union dated measurement lists by (date, steps_per_sec), date-sorted.
+    The conservative fastest-ever denominator only works if history
+    survives sessions — a round-4 review found a fresh container silently
+    degrading the ratio to same-day because history lived only in the
+    gitignored cache and the committed record was overwritten wholesale."""
+    seen, merged = set(), []
+    for hist in histories:
+        for m in hist or []:
+            key = (m.get("date"), round(float(m["steps_per_sec"]), 3))
+            if key not in seen:
+                seen.add(key)
+                merged.append(dict(m))
+    merged.sort(key=lambda m: (str(m.get("date")), m["steps_per_sec"]))
+    return merged
+
+
 def _load_baseline_cache() -> dict:
     cache = {}
     if os.path.exists(_BASELINE_CACHE):
@@ -406,6 +423,35 @@ def _load_baseline_cache() -> dict:
         cache["reference_real_measurements"] = [
             {"date": "2026-08-17",
              "steps_per_sec": cache["reference_real_steps_per_sec"]}]
+    # Seed from the COMMITTED record: .bench_baseline.json is gitignored,
+    # so a fresh container starts empty; without this the "fastest ever"
+    # denominator collapses to whatever today happens to measure.
+    if os.path.exists(_TPU_RECORD):
+        try:
+            with open(_TPU_RECORD) as fh:
+                outer = json.load(fh)
+            rec = outer.get("metrics", {})
+        except (json.JSONDecodeError, OSError):
+            outer, rec = {}, {}
+        cache["reference_real_measurements"] = _merge_measurements(
+            cache.get("reference_real_measurements"),
+            rec.get("baseline_reference_measurements"))
+        committed_social = rec.get("baseline_torch_social_proxy_measurements")
+        if committed_social is None and rec.get(
+                "baseline_torch_social_proxy_steps_per_sec"):
+            committed_social = [{
+                "date": outer.get("measured_at", "committed"),
+                "steps_per_sec":
+                    rec["baseline_torch_social_proxy_steps_per_sec"]}]
+        session_social = cache.get("torch_eager_social_measurements")
+        if session_social is None and cache.get(
+                "torch_eager_social_steps_per_sec"):
+            session_social = [{
+                "date": "session",
+                "steps_per_sec": cache["torch_eager_social_steps_per_sec"]}]
+        merged_social = _merge_measurements(session_social, committed_social)
+        if merged_social:
+            cache["torch_eager_social_measurements"] = merged_social
     return cache
 
 
@@ -445,11 +491,16 @@ def get_reference_baseline(use_social: bool = False) -> float:
     train.py:83; its social path cannot be enabled without editing it)."""
     cache = _load_baseline_cache()
     if use_social:
-        key = "torch_eager_social_steps_per_sec"
-        if key not in cache:
-            cache[key] = _bench_torch_reference(n_steps=4, use_social=True)
+        import datetime
+        hist = cache.get("torch_eager_social_measurements", [])
+        if not hist:
+            sps = _bench_torch_reference(n_steps=4, use_social=True)
+            hist = [{"date": datetime.date.today().isoformat(),
+                     "steps_per_sec": round(sps, 3)}]
+            cache["torch_eager_social_measurements"] = hist
             _save_baseline_cache(cache)
-        return cache[key]
+        # conservative = FASTEST proxy measurement ever recorded
+        return max(m["steps_per_sec"] for m in hist)
     hist = cache.get("reference_real_measurements", [])
     if not hist:
         entry = measure_reference_now(cache)
@@ -491,8 +542,42 @@ _TPU_RECORD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def _record_tpu_result(result: dict) -> None:
     """Persist a TPU-verified bench result (checked into benchmarks/) so a
-    later tunnel outage can report the last real number instead of 0."""
+    later tunnel outage can report the last real number instead of 0.
+
+    Baseline histories are MERGED with the existing record, never
+    overwritten: the committed record is the only cross-session store of
+    the dated reference measurements that make vs_baseline conservative
+    (round-4 regression: a wholesale overwrite destroyed the history and
+    inflated the headline ratio)."""
     import datetime
+    result = dict(result)
+    prev = {}
+    if os.path.exists(_TPU_RECORD):
+        try:
+            with open(_TPU_RECORD) as fh:
+                prev = json.load(fh).get("metrics", {})
+        except (json.JSONDecodeError, OSError):
+            prev = {}
+    merged = _merge_measurements(
+        prev.get("baseline_reference_measurements"),
+        result.get("baseline_reference_measurements"))
+    if merged:
+        result["baseline_reference_measurements"] = merged
+        fastest = max(m["steps_per_sec"] for m in merged)
+        result["baseline_reference_real_steps_per_sec"] = round(fastest, 3)
+        if result.get("value"):
+            result["vs_baseline"] = round(result["value"] / fastest, 2)
+    merged_social = _merge_measurements(
+        prev.get("baseline_torch_social_proxy_measurements"),
+        result.get("baseline_torch_social_proxy_measurements"))
+    if merged_social:
+        result["baseline_torch_social_proxy_measurements"] = merged_social
+        fastest_social = max(m["steps_per_sec"] for m in merged_social)
+        result["baseline_torch_social_proxy_steps_per_sec"] = round(
+            fastest_social, 3)
+        if result.get("social_train_steps_per_sec"):
+            result["social_vs_baseline"] = round(
+                result["social_train_steps_per_sec"] / fastest_social, 2)
     with open(_TPU_RECORD, "w") as fh:
         json.dump({
             "measured_at": datetime.date.today().isoformat(),
@@ -591,6 +676,9 @@ def main():
             cache.get("reference_real_measurements", []),
         "baseline_torch_social_proxy_steps_per_sec": round(social_baseline,
                                                            3),
+        "baseline_torch_social_proxy_measurements":
+            _load_baseline_cache().get("torch_eager_social_measurements",
+                                       []),
     }
     if platform == "tpu":
         _record_tpu_result(result)
