@@ -34,10 +34,25 @@ _RECIPES = {
 # robust1 + annealed D instance noise over the whole run
 _RECIPES["inoise2"] = _RECIPES["robust1"] + [
     "--d-input-noise", "0.05", "--d-input-noise-steps", "-1"]
-# the round-4 production stack: canonical frames + the paper's social
-# attention + EMA generator on top of inoise2
-_RECIPES["flagship"] = _RECIPES["inoise2"] + [
+# the round-4 TOY production stack: canonical frames + the paper's social
+# attention + EMA generator on top of inoise2.  Named toy-flagship since
+# round 5: its categorical/cooled-D/info-1.0 hyperparameters measured
+# 6.4-6.8x WORSE than reference defaults on the ETH/UCY LOO protocol
+# (BASELINE.md r4m) — it is the flagship of the TOY protocol only.
+_RECIPES["toy-flagship"] = _RECIPES["inoise2"] + [
     "--agent-frame", "--use-social", "--g-ema-decay", "0.999"]
+# the record LOO/real-data arm (BASELINE.md r4l, 0.0689/0.0774):
+# af + social + EMA + annealed D instance noise with a 0.02 floor +
+# graced ADE-stall rescue, on otherwise reference-default training
+# hyperparameters (NO categorical codes / D-lr cooling — those are the
+# toy bundle the r4m A/B measured 6.4x worse here)
+_RECIPES["loo"] = [
+    "--agent-frame", "--use-social", "--g-ema-decay", "0.999",
+    "--d-input-noise", "0.05", "--d-input-noise-steps", "-1",
+    "--d-input-noise-floor", "0.02", "--ade-stall-recover", "5"]
+
+#: deprecated names -> replacement (expanded with a stderr note)
+_RECIPE_ALIASES = {"flagship": "toy-flagship"}
 
 
 def _apply_recipe(argv):
@@ -46,7 +61,8 @@ def _apply_recipe(argv):
     override it.  A recipe's store_true flags (e.g. --auto-recover)
     cannot be switched back off by a later flag — use a thinner recipe
     plus explicit flags instead.  Unknown names are left for argparse's
-    choices= error."""
+    choices= error.  ``eth-ucy`` defaults to the ``loo`` record arm when
+    no --recipe is given (opt out with ``--recipe=``)."""
     argv = list(argv)
     for i, tok in enumerate(argv):
         if tok == "--recipe" and i + 1 < len(argv):
@@ -55,25 +71,44 @@ def _apply_recipe(argv):
             name, rest = tok.split("=", 1)[1], argv[:i] + argv[i + 1:]
         else:
             continue
+        if name in _RECIPE_ALIASES:
+            new = _RECIPE_ALIASES[name]
+            print(f"NOTE: --recipe {name} is deprecated — it is the TOY "
+                  f"bundle (6.4x worse than defaults on the LOO protocol, "
+                  f"BASELINE.md r4m); renamed to '{new}'. For real "
+                  f"trajectory data use --recipe loo.", file=sys.stderr)
+            name = new
         if name not in _RECIPES:
             return argv
         return rest[:1] + _RECIPES[name] + rest[1:]
+    if argv and argv[0] == "eth-ucy":
+        # the LOO protocol defaults to its own record arm — the measured
+        # best configuration for exactly this benchmark (BASELINE.md r4l)
+        print("NOTE: eth-ucy defaults to --recipe loo (the record arm: "
+              "af+social+EMA+noise-floor+graced rescue); pass --recipe= "
+              "for bare reference-default hyperparameters",
+              file=sys.stderr)
+        return argv[:1] + _RECIPES["loo"] + argv[1:]
     return argv
 
 
 def _add_model_flags(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--recipe", default="", choices=[""] + list(_RECIPES),
-                   help="expand a documented BASELINE.md flag bundle "
-                        "(robust1 = categorical codes + cooled D + "
-                        "auto-recover; inoise2 = + annealed D instance "
-                        "noise; flagship = + --agent-frame --use-social "
-                        "--g-ema-decay 0.999). Explicit flags given "
-                        "AFTER --recipe override the bundle. These are "
-                        "TOY recipes: the categorical/cooled-D/info-1.0 "
-                        "bundle measured 6.8x WORSE than default "
-                        "hyperparameters on the ETH/UCY LOO protocol "
-                        "(BASELINE.md r4m A/B) — for trajectory data "
-                        "use the documented record-arm flags instead")
+    p.add_argument("--recipe", default="",
+                   choices=[""] + list(_RECIPES) + list(_RECIPE_ALIASES),
+                   help="expand a documented BASELINE.md flag bundle. "
+                        "REAL DATA: 'loo' = the record LOO arm "
+                        "(--agent-frame --use-social --g-ema-decay 0.999 "
+                        "+ annealed D instance noise with 0.02 floor + "
+                        "graced ADE-stall rescue; 0.0689/0.0774 on the "
+                        "synthetic LOO protocol, BASELINE.md r4l) — the "
+                        "default for eth-ucy. TOY protocol: robust1 = "
+                        "categorical codes + cooled D + auto-recover; "
+                        "inoise2 = + annealed D instance noise; "
+                        "toy-flagship = + af/social/EMA (NOT for "
+                        "trajectory data: its hyperparameters measured "
+                        "6.4-6.8x worse than defaults on the LOO "
+                        "protocol, r4m A/B). Explicit flags given AFTER "
+                        "--recipe override the bundle")
     p.add_argument("--batch-size", "--b", type=int, default=256)
     p.add_argument("--epochs", "--e", type=int, default=1000)
     p.add_argument("--model", "--m", default="socialWays",
@@ -174,6 +209,16 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "judge — so up to M+1 rescues can fire per "
                         "stall episode; each ineffective rescue costs "
                         "a transient; 0 = unlimited)")
+    p.add_argument("--ade-stall-classify", type=int, default=0,
+                   help="signature-matched EARLY rescue: fire after N "
+                        "consecutive flat evals whose avg-of-K ADE is "
+                        ">=3x the min-of-K with train ADE tracking the "
+                        "avg — the measured broad-under-fit stall "
+                        "signature (benchmarks/stall_diagnosis_r4m) — "
+                        "instead of waiting out the full "
+                        "--ade-stall-recover patience. Healthy folds "
+                        "(avg/min 1.3-1.9x) never match. 0 = "
+                        "patience-only")
     p.add_argument("--rescue-keep-clock", action="store_true",
                    help="checkpoint-restore rescues (--auto-recover, "
                         "--stall-recover) keep the optimizer step counts "
@@ -450,11 +495,21 @@ def cmd_train(args) -> int:
     import jax
     from socialways_tpu.data.dataset import load_npz_dataset
     from socialways_tpu.engine import Trainer
-    from socialways_tpu.io.checkpoint import (checkpoint_exists,
+    from socialways_tpu.io.checkpoint import (adopt_checkpoint_config,
+                                              checkpoint_exists,
                                               restore_checkpoint,
                                               save_checkpoint)
 
     cfg = _cfg_from_args(args)
+    # Resume adopts the checkpoint's model-defining config BEFORE the
+    # trainer builds the model: the resumed run must continue THE run on
+    # disk, not silently reinterpret its weights under different flags
+    # (contradicting explicit flags are warned about; use a fresh
+    # --model-dir / --dataset name to train a different model).
+    resume_file = os.path.join(cfg.model_dir,
+                               f"{args.model}-{args.dataset}.npz")
+    if checkpoint_exists(resume_file):
+        cfg = adopt_checkpoint_config(cfg, resume_file)
     ds = load_npz_dataset(args.data)
     mesh = None
     mesh_arg = str(getattr(args, "mesh", "0"))
@@ -490,7 +545,9 @@ def cmd_train(args) -> int:
     from socialways_tpu.engine.rescue import StallTracker
     ade_tracker = StallTracker(args.ade_stall_recover,
                                grace=args.ade_stall_grace,
-                               max_rescues=args.ade_stall_max_rescues)
+                               max_rescues=args.ade_stall_max_rescues,
+                               classify_patience=getattr(
+                                   args, "ade_stall_classify", 0))
     if args.ade_stall_recover and (trainer.test_packed is None
                                    or cfg.test_interval >= cfg.n_epochs):
         # the stall machine lives inside the periodic-eval block; with
@@ -514,7 +571,7 @@ def cmd_train(args) -> int:
     if args.auto_recover and not checkpoint_exists(best_file):
         # pre-training baseline: a divergence before the first eval can
         # still be rescued (restores to init rather than crashing on)
-        save_checkpoint(best_file, state, 0, rng, ds.scale)
+        save_checkpoint(best_file, state, 0, rng, ds.scale, cfg)
 
     print(f"{args.data}  # training samples: {ds.n_train_samples}  "
           f"chunks: {trainer.train_packed.n_chunks}  "
@@ -568,7 +625,7 @@ def cmd_train(args) -> int:
                   f"restored best checkpoint from epoch {b_epoch}")
 
         if epoch % cfg.save_interval == 0:
-            save_checkpoint(model_file, state, epoch, rng, ds.scale)
+            save_checkpoint(model_file, state, epoch, rng, ds.scale, cfg)
             print(f"saved checkpoint to {model_file}")
 
         if epoch % cfg.test_interval == 0 and trainer.test_packed is not None:
@@ -585,9 +642,11 @@ def cmd_train(args) -> int:
             # but never uses it (train.py:636); we keep the best-eval model
             if ev["ade_min"] < best_ade:
                 best_ade = ev["ade_min"]
-                save_checkpoint(best_file, state, epoch, rng, ds.scale)
+                save_checkpoint(best_file, state, epoch, rng, ds.scale, cfg)
                 print(f"new best (ADE {best_ade:.3f}) saved to {best_file}")
-            if (ade_tracker.observe(ev["ade_min"])
+            if (ade_tracker.observe(ev["ade_min"],
+                                    ade_avg=ev.get("ade_avg"),
+                                    train_ade=m.get("train_ade"))
                     and epoch < cfg.n_epochs
                     and checkpoint_exists(best_file)):
                 pre_rescue = state
@@ -621,7 +680,7 @@ def cmd_train(args) -> int:
                     best_cov = cov
                     cov_stall = 0
                     save_checkpoint(bestcov_file, state, epoch, rng,
-                                    ds.scale)
+                                    ds.scale, cfg)
                     print(f"new best coverage saved to {bestcov_file}")
                 else:
                     cov_stall += 1
@@ -660,7 +719,7 @@ def cmd_train(args) -> int:
     # of save_interval (the reference would end a short run with nothing
     # on disk, train.py:651-663) — evaluate/resume then always work
     if epoch % cfg.save_interval != 0:
-        save_checkpoint(model_file, state, epoch, rng, ds.scale)
+        save_checkpoint(model_file, state, epoch, rng, ds.scale, cfg)
         print(f"saved final checkpoint to {model_file}")
     return 0
 
@@ -726,9 +785,15 @@ def cmd_evaluate(args) -> int:
     import jax
     from socialways_tpu.data.dataset import load_npz_dataset
     from socialways_tpu.engine import Trainer
-    from socialways_tpu.io.checkpoint import restore_checkpoint
+    from socialways_tpu.io.checkpoint import (adopt_checkpoint_config,
+                                              restore_checkpoint)
 
     cfg = _cfg_from_args(args)
+    if args.model_file:
+        # the checkpoint knows which model its weights are (agent_frame /
+        # use_social / widths) — adopt before building the eval model so a
+        # bare `evaluate` can never silently run the wrong frame
+        cfg = adopt_checkpoint_config(cfg, args.model_file)
     ds = load_npz_dataset(args.data)
     trainer = Trainer(cfg, ds)
     cfg = trainer.cfg
@@ -785,13 +850,21 @@ def cmd_predict(args) -> int:
     from socialways_tpu.engine.train_step import (eval_params,
                                                   init_train_state)
     from socialways_tpu.eval.metrics import k_sample_rollout
-    from socialways_tpu.io.checkpoint import restore_checkpoint
+    from socialways_tpu.io.checkpoint import (adopt_checkpoint_config,
+                                              restore_checkpoint)
     from socialways_tpu.ops.traj import predict_cv
 
     cfg = _cfg_from_args(args)
+    # adopt the checkpoint's model-defining config (agent_frame/use_social/
+    # widths) before building anything; the serving path must never guess
+    cfg = adopt_checkpoint_config(cfg, args.model_file)
 
     agent_idx = at_time = None
-    n_next = args.n_next
+    # horizons: explicit flags win; otherwise the checkpoint's training
+    # horizons (G's rollout works for any horizon, but serving with the
+    # trained one is the sane default)
+    n_past = args.n_past if args.n_past != 8 else cfg.n_past
+    n_next = args.n_next if args.n_next != 12 else cfg.n_next
     if args.data.endswith(".npz"):
         d = np.load(args.data)
         obsvs_w = np.asarray(d["obsvs"], np.float32)        # world coords
@@ -807,7 +880,7 @@ def cmd_predict(args) -> int:
         p = parser_cls[args.parser]()
         p.load(args.data, down_sample=args.down_sample)
         obsvs_w, agent_idx, at_time = forecast_windows(
-            p.p_data, p.t_data, n_past=args.n_past,
+            p.p_data, p.t_data, n_past=n_past,
             at_time=args.at_time if args.at_time >= 0 else None)
         obsvs_w = obsvs_w.astype(np.float32)
         batches = np.asarray([[0, len(obsvs_w)]], np.int64)
@@ -951,7 +1024,8 @@ def cmd_eth_ucy(args) -> int:
         eval_every=args.eval_every,
         ade_stall_recover=args.ade_stall_recover,
         ade_stall_grace=args.ade_stall_grace,
-        ade_stall_max_rescues=args.ade_stall_max_rescues)
+        ade_stall_max_rescues=args.ade_stall_max_rescues,
+        ade_stall_classify=getattr(args, "ade_stall_classify", 0))
 
     if args.compare_reference:
         # train the UNMODIFIED reference on the identical fold npz files
@@ -1002,15 +1076,23 @@ def cmd_simulate(args) -> int:
         use_pallas=not args.no_pallas and jax.default_backend() == "tpu",
         max_scene_size=args.scene_size)
 
-    params = init_generator(jax.random.PRNGKey(cfg.seed), cfg)
     if args.model_file:
-        from socialways_tpu.engine.train_step import init_train_state
-        from socialways_tpu.io.checkpoint import restore_checkpoint
+        from socialways_tpu.engine.train_step import (eval_params,
+                                                      init_train_state)
+        from socialways_tpu.io.checkpoint import (adopt_checkpoint_config,
+                                                  restore_checkpoint)
+        # the checkpoint decides the model (use_social/agent_frame/widths);
+        # runtime-only sim knobs are re-applied after adoption
+        cfg = adopt_checkpoint_config(cfg, args.model_file).replace(
+            use_pallas=not args.no_pallas
+            and jax.default_backend() == "tpu",
+            max_scene_size=args.scene_size)
         state, _, _, _ = restore_checkpoint(args.model_file,
                                             init_train_state(
                                                 jax.random.PRNGKey(0), cfg))
-        from socialways_tpu.engine.train_step import eval_params
         params = eval_params(state)
+    else:
+        params = init_generator(jax.random.PRNGKey(cfg.seed), cfg)
 
     n = args.agents
     rng = np.random.RandomState(cfg.seed)
@@ -1031,7 +1113,8 @@ def cmd_simulate(args) -> int:
 
     total_steps = n * args.windows * cfg.n_next
     print(f"simulated {n} agents x {args.windows * cfg.n_next} steps "
-          f"(scenes of {args.scene_size}, social attention on, "
+          f"(scenes of {args.scene_size}, social attention "
+          f"{'on' if cfg.use_social else 'OFF — checkpoint trained without social'}, "
           f"pallas={cfg.use_pallas}) in {dt * 1e3:.1f} ms "
           f"= {total_steps / dt / 1e6:.2f}M agent-steps/s")
     if args.out:
