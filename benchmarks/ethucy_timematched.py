@@ -73,6 +73,13 @@ def main():
                          "M+1 rescues can fire per stall episode; each "
                          "ineffective rescue costs a transient, r4k "
                          "thrash measurements). 0 = unlimited")
+    ap.add_argument("--classify-blocks", type=int, default=0,
+                    help="signature-matched EARLY rescue: fire after N "
+                         "consecutive flat evals whose avg-of-K >= 3x "
+                         "min-of-K with train ADE tracking the avg (the "
+                         "r4m broad-under-fit signature) instead of "
+                         "waiting out the full --stall-blocks patience. "
+                         "0 = patience-only (r4l shipped policy)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -131,7 +138,8 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
             "at_epoch": 0}
     best_state = state  # pytrees are immutable; this is a cheap alias
     tracker = StallTracker(args.stall_blocks, grace=args.stall_grace,
-                           max_rescues=args.stall_max_rescues)
+                           max_rescues=args.stall_max_rescues,
+                           classify_patience=args.classify_blocks)
     curve = []
     train_s = 0.0
     done = 0
@@ -164,7 +172,9 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
                     "at_epoch": done}
             best_state = state
         print(curve[-1], flush=True)
-        if tracker.observe(ev["ade_min"]) and done < args.epochs:
+        if tracker.observe(ev["ade_min"], ade_avg=ev["ade_avg"],
+                           train_ade=m.get("train_ade")) \
+                and done < args.epochs:
             # stalled adversarial equilibrium: restore the best G/EMA
             # seen so far and give it a FRESH discriminator (the
             # --ade-stall-recover mechanism; schedule clocks rewind
@@ -185,6 +195,7 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
         "steps": trainer.n_steps_per_epoch * args.epochs,
         "best": best, "final": curve[-1],
         "rescues": tracker.rescues,
+        "rescues_fired_by_classifier": tracker.fired_early,
         "train_time_s": round(train_s, 1),
         "total_wall_s": round(total_s, 1),
         "reference_comparison": {

@@ -87,12 +87,34 @@ def child(args) -> None:
 
     g_losses, d_losses = [], []
     done = 0
+    ckpt_at = args.steps // 2 if args.ckpt_dir else -1
     for g, batch in host_chunk_feed(packed, mesh):
         state, m = step(state, batch, jax.random.PRNGKey(g))
         # metrics are replicated (out_specs P()) — every process can read
         g_losses.append(float(m.g_loss))
         d_losses.append(float(m.d_loss))
         done += 1
+        if done == ckpt_at:
+            # mid-run save/restore across processes (VERDICT-r4 next #7):
+            # process 0 saves (state leaves are replicated over the
+            # global mesh — every local device holds the full value, so
+            # np.asarray per leaf is addressable from any process);
+            # then EVERY process restores from the file and continues.
+            # Loss-stream identity with the uninterrupted run is the
+            # parity the parent asserts.
+            from jax.experimental import multihost_utils
+
+            from socialways_tpu.io.checkpoint import (restore_checkpoint,
+                                                      save_checkpoint)
+            ckpt = os.path.join(args.ckpt_dir, "mid.npz")
+            if jax.process_index() == 0:
+                save_checkpoint(ckpt, state, epoch=done,
+                                rng=jax.random.PRNGKey(g), cfg=cfg)
+            multihost_utils.sync_global_devices("ckpt_saved")
+            template = init_train_state(jax.random.PRNGKey(0), cfg)
+            state, ep, _, _ = restore_checkpoint(ckpt, template)
+            assert ep == done
+            multihost_utils.sync_global_devices("ckpt_restored")
         if done >= args.steps:
             break
 
@@ -111,7 +133,7 @@ def _free_port() -> int:
 
 
 def _launch(num_processes: int, steps: int,
-            local_devices: int = LOCAL_DEVICES):
+            local_devices: int = LOCAL_DEVICES, ckpt_dir: str = ""):
     """Run `num_processes` children; return each child's parsed record."""
     port = _free_port()
     procs = []
@@ -122,6 +144,8 @@ def _launch(num_processes: int, steps: int,
                "--coordinator", f"127.0.0.1:{port}",
                "--steps", str(steps),
                "--local-devices", str(local_devices)]
+        if ckpt_dir:
+            cmd += ["--ckpt-dir", ckpt_dir]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True,
                                       cwd=REPO))
@@ -151,6 +175,10 @@ def main():
     ap.add_argument("--coordinator", default="127.0.0.1:0")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--local-devices", type=int, default=LOCAL_DEVICES)
+    ap.add_argument("--ckpt-dir", default="",
+                    help="save a checkpoint from process 0 at steps/2 and "
+                         "restore it in EVERY process before continuing "
+                         "(mid-run multi-process checkpoint drill)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     if args.child:
@@ -164,6 +192,12 @@ def main():
     single = _launch(1, args.steps, LOCAL_DEVICES)[0]
     single8 = _launch(1, args.steps, 2 * LOCAL_DEVICES)[0]
     duo = _launch(2, args.steps, LOCAL_DEVICES)
+    # mid-run checkpoint arm: process 0 saves at steps/2, both processes
+    # restore and continue — the loss stream must be identical to the
+    # uninterrupted 2-process run (save/restore is a no-op for the math)
+    import tempfile
+    with tempfile.TemporaryDirectory(prefix="mpsmoke_ckpt_") as ckd:
+        duo_ckpt = _launch(2, args.steps, LOCAL_DEVICES, ckpt_dir=ckd)
     wall = round(time.perf_counter() - tic, 1)
 
     assert duo[0]["global_devices"] == 2 * LOCAL_DEVICES == \
@@ -177,6 +211,11 @@ def main():
                                rtol=2e-5)
     np.testing.assert_allclose(duo[0]["d_losses"], single8["d_losses"],
                                rtol=2e-5)
+    # checkpoint round-trip is bit-exact on the loss stream: the state
+    # leaves survive device->np.asarray->npz->device across processes
+    assert duo_ckpt[0]["g_losses"] == duo[0]["g_losses"]
+    assert duo_ckpt[0]["d_losses"] == duo[0]["d_losses"]
+    assert duo_ckpt[0]["g_losses"] == duo_ckpt[1]["g_losses"]
 
     result = {
         "ok": True,
@@ -190,10 +229,18 @@ def main():
         "single_process_8dev": {"g_losses": single8["g_losses"],
                                 "d_losses": single8["d_losses"]},
         "single_process_4dev_sanity": {"g_losses": single["g_losses"]},
+        "two_process_mid_ckpt": {
+            "g_losses": duo_ckpt[0]["g_losses"],
+            "d_losses": duo_ckpt[0]["d_losses"],
+            "ckpt_at_step": args.steps // 2,
+            "loss_stream_identical_to_uninterrupted": True},
         "note": "2-process jax.distributed CPU run: each process fed only "
                 "its local chunk groups through host_chunk_feed / "
                 "make_array_from_process_local_data; per-step losses match "
-                "the single-process 8-device run",
+                "the single-process 8-device run; the mid-run checkpoint "
+                "arm (save from process 0 at steps/2, restore in both, "
+                "continue) reproduces the uninterrupted loss stream "
+                "exactly",
     }
     print(json.dumps({k: result[k] for k in ("ok", "steps", "wall_s")}))
     if args.out:

@@ -234,6 +234,7 @@ def run_leave_one_out(
     ade_stall_recover: int = 0,
     ade_stall_grace: int = 2,
     ade_stall_max_rescues: int = 3,
+    ade_stall_classify: int = 0,
 ) -> Dict[str, Dict[str, float]]:
     """Train + evaluate each leave-one-out fold.  Returns
     {scene: {ade_min, fde_min, ade_avg, fde_avg, train_time_s,
@@ -270,6 +271,14 @@ def run_leave_one_out(
     first rescue is never counted — there is no prior rescue to judge
     — so up to max_rescues + 1 rescues can execute per stall episode
     (see engine/rescue.py).
+
+    ``ade_stall_classify`` = N arms the signature-matched EARLY trigger
+    (benchmarks/stall_diagnosis_r4m.json): the measured stall mechanism
+    is a broad-distribution under-fit equilibrium whose signature —
+    avg-of-K ≥ 3× min-of-K with train ADE tracking the eval avg — is
+    logged per eval anyway; N consecutive flat signature-matching evals
+    fire the rescue without waiting out the full patience.  Healthy
+    folds (avg/min ≈ 1.3-1.9) never match.  0 = patience-only.
 
     Eval and rescue keys come from streams independent of the training
     stream, so arming ``eval_every``/``ade_stall_recover`` does not
@@ -309,7 +318,8 @@ def run_leave_one_out(
                 "best_at_epoch": 0}
         best_state = state            # pytrees are immutable; cheap alias
         tracker = StallTracker(ade_stall_recover, grace=ade_stall_grace,
-                               max_rescues=ade_stall_max_rescues)
+                               max_rescues=ade_stall_max_rescues,
+                               classify_patience=ade_stall_classify)
         tic_total = time.perf_counter()
         train_time = 0.0
         done = 0
@@ -353,7 +363,9 @@ def run_leave_one_out(
                       f"avg {ev['ade_avg']:.3f} "
                       f"(best {best['best_ade_min']:.3f} "
                       f"@{best['best_at_epoch']})")
-            if tracker.observe(ev["ade_min"]) and done < n_epochs:
+            if tracker.observe(ev["ade_min"], ade_avg=ev["ade_avg"],
+                               train_ade=m.get("train_ade")) \
+                    and done < n_epochs:
                 # stalled adversarial equilibrium: restore the best state
                 # seen and give it a FRESH discriminator (the production
                 # --stall-reset-d move keyed on eval ADE; schedule clocks
@@ -381,6 +393,7 @@ def run_leave_one_out(
                         "best_at_epoch": done}
             ev.update(best)
             ev["rescues"] = tracker.rescues
+            ev["rescues_fired_by_classifier"] = tracker.fired_early
         results[held_out] = ev
         if verbose:
             print(f"{held_out}: ADE/FDE (min-{cfg.n_gen_samples}) = "

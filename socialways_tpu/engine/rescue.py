@@ -60,35 +60,75 @@ class StallTracker:
     """
 
     def __init__(self, patience: int, grace: int = 0,
-                 max_rescues: int = 0, improve: float = 0.98):
+                 max_rescues: int = 0, improve: float = 0.98,
+                 classify_patience: int = 0, classify_ratio: float = 3.0):
         self.patience = patience
         self.grace_n = grace
         self.max_rescues = max_rescues
         self.improve = improve
+        # signature-matched EARLY trigger (r4m diagnosis → r5 lever):
+        # the stalled folds are a broad-distribution under-fit
+        # equilibrium with a signature the harness already logs per
+        # eval — avg-of-K ≥ classify_ratio × min-of-K (samples stay
+        # diverse) while train ADE tracks the eval avg (not overfit).
+        # Healthy folds run avg/min ≈ 1.3-1.9 (stall_diagnosis_r4m:
+        # 1.8 vs 3.3/4.1 stalled), so signature-matching stalls can
+        # fire after only ``classify_patience`` flat evals instead of
+        # the blunter ``patience``, cutting detection latency without
+        # touching healthy folds.  0 = off (patience-only, the r4l
+        # shipped policy).
+        self.classify_patience = classify_patience
+        self.classify_ratio = classify_ratio
         self.bar = float("inf")
         self.stall = 0
         self.grace = 0
         self.ineffective = 0
         self.best_at_last_rescue = float("inf")
         self.rescues: List[int] = []
+        self.signature_hits = 0       # consecutive signature-matching evals
+        self.fired_early = 0          # rescues fired by the classifier
 
-    def observe(self, ade: float) -> bool:
-        """Record one eval; True when a rescue should fire now."""
+    def observe(self, ade: float, ade_avg: float | None = None,
+                train_ade: float | None = None) -> bool:
+        """Record one eval; True when a rescue should fire now.
+
+        ``ade_avg``/``train_ade`` (both optional) feed the under-fit
+        signature classifier; patience-only callers are unchanged."""
         if not self.patience:
             return False
         if self.grace > 0:
             # post-rescue transient (G vs the fresh random D): these
             # evals neither count as stalls nor move the bar
             self.grace -= 1
+            self.signature_hits = 0
             return False
         if ade < self.improve * self.bar:
             self.bar = ade
             self.stall = 0
+            self.signature_hits = 0
         else:
             self.stall += 1
+            # under-fit signature: diverse-but-inaccurate (avg >> min)
+            # and NOT overfit (train tracks the eval avg) — the exact
+            # ratios of benchmarks/stall_diagnosis_r4m.json
+            if (self.classify_patience and ade_avg is not None
+                    and ade_avg >= self.classify_ratio * ade
+                    and (train_ade is None
+                         or train_ade > 0.5 * ade_avg)):
+                self.signature_hits += 1
+            else:
+                self.signature_hits = 0
         capped = (self.max_rescues
                   and self.ineffective >= self.max_rescues)
-        return self.stall >= self.patience and not capped
+        if capped:
+            return False
+        if self.stall >= self.patience:
+            return True
+        if (self.classify_patience
+                and self.signature_hits >= self.classify_patience):
+            self.fired_early += 1
+            return True
+        return False
 
     def fired(self, best_ade: float, at_epoch: int) -> int:
         """Record a rescue that just fired; returns the consecutive-
@@ -101,6 +141,7 @@ class StallTracker:
         self.best_at_last_rescue = best_ade
         self.rescues.append(at_epoch)
         self.stall = 0
+        self.signature_hits = 0
         self.grace = self.grace_n
         self.bar = best_ade
         return self.ineffective

@@ -1225,3 +1225,57 @@ def test_stall_tracker_semantics():
     assert t.observe(0.9) is False           # >2% better: bar moves
     assert t.observe(0.9) is True            # then stalls again
     assert t.fired(0.9, at_epoch=4) == 0     # 0.9 < 0.98 * 1.0 -> reset
+
+
+def test_stall_tracker_classifier_early_trigger():
+    """The signature-matched early trigger (r4m diagnosis wired into the
+    rescue): flat evals matching the broad-under-fit signature (avg-of-K
+    >= ratio x min-of-K, train ADE tracking the avg) fire after
+    classify_patience instead of the full patience; healthy-looking or
+    overfit-shaped evals never take the early path."""
+    from socialways_tpu.engine.rescue import StallTracker
+
+    # stalled signature: fires after 2 signature evals, not patience 5
+    t = StallTracker(5, classify_patience=2)
+    assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)  # sets bar
+    assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)  # hit 1
+    assert t.observe(0.20, ade_avg=0.70, train_ade=0.63)      # hit 2 -> fire
+    assert t.fired_early == 1
+    t.fired(0.20, at_epoch=3)
+    assert t.signature_hits == 0
+
+    # healthy diversity ratio (avg/min ~1.8): no early fire; the
+    # patience path still fires at 5
+    t = StallTracker(5, classify_patience=2)
+    fires = [t.observe(0.10, ade_avg=0.18, train_ade=0.20)
+             for _ in range(6)]
+    assert fires == [False] * 5 + [True]          # bar eval + patience 5
+    assert t.fired_early == 0
+
+    # overfit shape (train << avg) does not match the under-fit signature
+    t = StallTracker(5, classify_patience=2)
+    for _ in range(4):
+        assert not t.observe(0.20, ade_avg=0.70, train_ade=0.10)
+    assert t.fired_early == 0
+
+    # an improving eval resets the signature streak
+    t = StallTracker(5, classify_patience=2)
+    t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    t.observe(0.20, ade_avg=0.70, train_ade=0.63)             # hit 1
+    assert not t.observe(0.15, ade_avg=0.50, train_ade=0.45)  # improve
+    assert t.signature_hits == 0
+
+    # classify_patience=0 (shipped default): signature ignored, missing
+    # kwargs accepted (patience-only callers unchanged)
+    t = StallTracker(2, classify_patience=0)
+    assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert t.observe(0.20)                        # plain patience path
+    assert t.fired_early == 0
+
+    # missing train_ade: signature decided on the avg/min ratio alone
+    t = StallTracker(5, classify_patience=2)
+    t.observe(0.20, ade_avg=0.70)
+    t.observe(0.20, ade_avg=0.70)
+    assert t.observe(0.20, ade_avg=0.70)
+    assert t.fired_early == 1
