@@ -75,6 +75,23 @@ def _measure(run, args_dev, n_steps: int, reps: int = 3) -> float:
 
 def _report(name, flops_step, bytes_step, s_step, extra=None) -> dict:
     achieved = flops_step / s_step if s_step > 0 else 0.0
+    pct_peak = 100 * achieved / V5E_BF16_PEAK
+    hbm_pct = (100 * (bytes_step / s_step) / V5E_HBM_BW
+               if s_step > 0 and bytes_step else 0.0)
+    # what bounds this regime (the VERDICT-r4 #8 "bound by" column):
+    # >~25% of either roofline names that resource; tiny on both means
+    # the per-step work is too small to fill the chip — latency/VPU
+    # bound (small-h LSTM steps) on-device, and DISPATCH bound when the
+    # epoch loop runs from the host (bench.py measures that gap
+    # directly: dispatch_loop vs epoch_on_device steps/s)
+    if pct_peak >= 25:
+        bound = "mxu-compute"
+    elif hbm_pct >= 25:
+        bound = "hbm-bandwidth"
+    else:
+        bound = ("per-step latency/VPU (work too small for the MXU "
+                 "rooflines; host-dispatch bound unless the epoch loop "
+                 "is on-device — see dispatch_gap note)")
     row = {
         "workload": name,
         "flops_per_step": flops_step,
@@ -83,10 +100,9 @@ def _report(name, flops_step, bytes_step, s_step, extra=None) -> dict:
             flops_step / bytes_step, 3) if bytes_step else None,
         "ms_per_step": round(s_step * 1e3, 4),
         "achieved_flops_per_sec": achieved,
-        "pct_of_v5e_bf16_peak": round(100 * achieved / V5E_BF16_PEAK, 4),
-        "hbm_bw_utilization_pct": round(
-            100 * (bytes_step / s_step) / V5E_HBM_BW, 2)
-        if s_step > 0 and bytes_step else None,
+        "pct_of_v5e_bf16_peak": round(pct_peak, 4),
+        "hbm_bw_utilization_pct": round(hbm_pct, 2) if hbm_pct else None,
+        "bound_by": bound,
     }
     if extra:
         row.update(extra)
@@ -241,10 +257,37 @@ def main():
             rows.append(mfu_crowd_train(n, 2, "float32"))
             if args.bf16:
                 rows.append(mfu_crowd_sim(n, args.crowd_steps, "bfloat16"))
+    # fold the dispatch-loop vs epoch-on-device gap into the table: the
+    # committed bench record measures BOTH forms of the same train step,
+    # so the host-dispatch overhead per step is directly computable
+    dispatch_gap = None
+    rec_path = os.path.join(HERE, "bench_tpu_record.json")
+    if os.path.exists(rec_path):
+        try:
+            with open(rec_path) as fh:
+                m = json.load(fh)["metrics"]
+            disp = m.get("dispatch_loop_steps_per_sec")
+            dev = m.get("epoch_on_device_steps_per_sec")
+            if disp and dev:
+                dispatch_gap = {
+                    "dispatch_loop_steps_per_sec": disp,
+                    "epoch_on_device_steps_per_sec": dev,
+                    "speedup_epoch_on_device": round(dev / disp, 1),
+                    "host_dispatch_overhead_ms_per_step": round(
+                        1e3 * (1 / disp - 1 / dev), 3),
+                    "note": "same train step; the only difference is "
+                            "whether the epoch loop runs on-device "
+                            "(lax.scan over packed batches) or from the "
+                            "host — at h=64 the step is latency-bound, "
+                            "so host dispatch dominates unless fused",
+                }
+        except (json.JSONDecodeError, OSError, KeyError):
+            pass
     result = {
         "platform": jax.devices()[0].platform,
         "peak_convention": "pct vs v5e bf16 MXU peak 197e12 FLOP/s for all "
                            "dtypes; HBM pct vs 819 GB/s",
+        "dispatch_gap": dispatch_gap,
         "rows": rows,
     }
     print(json.dumps(result, indent=1))
