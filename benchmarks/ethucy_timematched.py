@@ -73,6 +73,15 @@ def main():
                          "M+1 rescues can fire per stall episode; each "
                          "ineffective rescue costs a transient, r4k "
                          "thrash measurements). 0 = unlimited")
+    ap.add_argument("--rescue-g-jitter", type=float, default=0.0,
+                    help="second rescue lever: when a rescue fires with "
+                         "a consecutive-ineffective streak >= 1 (the "
+                         "previous fresh-D rescue found no new basin), "
+                         "ALSO jitter the restored raw G params by this "
+                         "relative sigma (per-leaf RMS-scaled Gaussian; "
+                         "EMA/optimizers untouched) so the run cannot "
+                         "re-enter the same metastable basin exactly. "
+                         "0 = off (r4l shipped policy)")
     ap.add_argument("--classify-blocks", type=int, default=0,
                     help="signature-matched EARLY rescue: fire after N "
                          "consecutive flat evals whose avg-of-K >= 3x "
@@ -185,8 +194,17 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
             rng, kd = jax.random.split(rng)
             state = reinit_discriminator(best_state, cfg, kd)
             streak = tracker.fired(best["ade_min20"], at_epoch=done)
+            jittered = False
+            if args.rescue_g_jitter and streak >= 1:
+                # the previous fresh-D rescue found no new basin:
+                # break the exact re-entry (engine/rescue.py lever)
+                from socialways_tpu.engine.rescue import jitter_generator
+                rng, kj = jax.random.split(rng)
+                state = jitter_generator(state, kj, args.rescue_g_jitter)
+                jittered = True
             print({"rescue_at": done, "from_best_epoch":
-                   best["at_epoch"], "ineffective_streak": streak},
+                   best["at_epoch"], "ineffective_streak": streak,
+                   "g_jittered": jittered},
                   flush=True)
 
     total_s = time.perf_counter() - tic_total

@@ -157,3 +157,31 @@ def reinit_discriminator(state, cfg: TrainConfig, key: jax.Array):
     d_params = init_discriminator(key, cfg, jnp.dtype(cfg.dtype))
     _, d_tx = make_optimizers(cfg)
     return state._replace(d_params=d_params, d_opt=d_tx.init(d_params))
+
+
+def jitter_generator(state, key: jax.Array, sigma: float):
+    """Second rescue lever for folds where fresh-D alone converts only
+    partially (r4l: s7/eth stuck at 0.166 after 3 rescues): perturb the
+    RAW generator params with Gaussian noise scaled per leaf by the
+    leaf's RMS (``w += sigma * rms(w) * N(0,1)``), so every layer moves
+    the same relative amount regardless of its scale.
+
+    Rationale: the rescue restores the SAME best G each time — with a
+    fresh D it can slide straight back into the same metastable basin.
+    A small relative jitter breaks the exact re-entry while staying
+    close enough to keep the restored quality reachable.  The EMA
+    params (what evaluation serves) and both optimizer states are
+    untouched: serving stays at the restored best while training
+    explores from the jittered point.  sigma=0 returns state unchanged.
+    """
+    if not sigma:
+        return state
+    leaves, treedef = jax.tree_util.tree_flatten(state.g_params)
+    keys = jax.random.split(key, len(leaves))
+    jittered = []
+    for leaf, k in zip(leaves, keys):
+        rms = jnp.sqrt(jnp.mean(jnp.square(leaf)) + 1e-12)
+        jittered.append(leaf + sigma * rms
+                        * jax.random.normal(k, leaf.shape, leaf.dtype))
+    return state._replace(
+        g_params=jax.tree_util.tree_unflatten(treedef, jittered))

@@ -1279,3 +1279,39 @@ def test_stall_tracker_classifier_early_trigger():
     t.observe(0.20, ade_avg=0.70)
     assert t.observe(0.20, ade_avg=0.70)
     assert t.fired_early == 1
+
+
+def test_jitter_generator_perturbs_only_raw_g():
+    """jitter_generator (the second rescue lever): relative per-leaf
+    perturbation of the RAW G params only — EMA, D, and both optimizer
+    states are untouched; sigma=0 is the identity."""
+    import jax
+    import numpy as np
+    from socialways_tpu.config import TrainConfig
+    from socialways_tpu.engine.rescue import jitter_generator
+    from socialways_tpu.engine.train_step import init_train_state
+
+    cfg = TrainConfig(hidden_size=16, social_feature_size=16, noise_len=8,
+                      n_past=2, n_next=2, g_ema_decay=0.99)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert jitter_generator(state, jax.random.PRNGKey(1), 0.0) is state
+
+    out = jitter_generator(state, jax.random.PRNGKey(1), 0.01)
+    # every G leaf moved by ~1% of its RMS, none exactly equal
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                    jax.tree_util.tree_leaves(out.g_params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert not np.array_equal(a, b)
+        rms = np.sqrt(np.mean(a ** 2) + 1e-12)
+        rel = np.sqrt(np.mean((b - a) ** 2)) / rms
+        assert 0.002 < rel < 0.05          # ~sigma, loose sampling bound
+    # EMA and D untouched (served quality preserved)
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_ema),
+                    jax.tree_util.tree_leaves(out.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.d_params),
+                    jax.tree_util.tree_leaves(out.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_opt),
+                    jax.tree_util.tree_leaves(out.g_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
