@@ -64,6 +64,17 @@ def _apply_recipe(argv):
     choices= error.  ``eth-ucy`` defaults to the ``loo`` record arm when
     no --recipe is given (opt out with ``--recipe=``)."""
     argv = list(argv)
+    # the bundle must land right after the SUBCOMMAND, which the global
+    # flags (--cpu, --cpu-devices N) may precede
+    sub_i = 0
+    while sub_i < len(argv):
+        tok = argv[sub_i]
+        if tok == "--cpu-devices":
+            sub_i += 2
+        elif tok.startswith("-"):
+            sub_i += 1
+        else:
+            break
     for i, tok in enumerate(argv):
         if tok == "--recipe" and i + 1 < len(argv):
             name, rest = argv[i + 1], argv[:i] + argv[i + 2:]
@@ -80,15 +91,15 @@ def _apply_recipe(argv):
             name = new
         if name not in _RECIPES:
             return argv
-        return rest[:1] + _RECIPES[name] + rest[1:]
-    if argv and argv[0] == "eth-ucy":
+        return rest[:sub_i + 1] + _RECIPES[name] + rest[sub_i + 1:]
+    if sub_i < len(argv) and argv[sub_i] == "eth-ucy":
         # the LOO protocol defaults to its own record arm — the measured
         # best configuration for exactly this benchmark (BASELINE.md r4l)
         print("NOTE: eth-ucy defaults to --recipe loo (the record arm: "
               "af+social+EMA+noise-floor+graced rescue); pass --recipe= "
               "for bare reference-default hyperparameters",
               file=sys.stderr)
-        return argv[:1] + _RECIPES["loo"] + argv[1:]
+        return argv[:sub_i + 1] + _RECIPES["loo"] + argv[sub_i + 1:]
     return argv
 
 

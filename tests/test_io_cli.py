@@ -268,6 +268,17 @@ def test_cli_recipe_loo_is_the_documented_record_arm(capsys):
     bare = _apply_recipe(["eth-ucy", "--data-dir", "/x", "--recipe="])
     assert "--agent-frame" not in bare
 
+    # global flags before the subcommand: the bundle still lands AFTER
+    # the subcommand (round-5 regression: it used to land after argv[0],
+    # breaking `--cpu train --recipe loo`)
+    capsys.readouterr()
+    gl = _apply_recipe(["--cpu", "--cpu-devices", "8", "train",
+                        "--data", "x.npz", "--recipe", "loo"])
+    assert gl[:4] == ["--cpu", "--cpu-devices", "8", "train"]
+    assert gl[4] == "--agent-frame"
+    gl2 = _apply_recipe(["--cpu", "eth-ucy", "--data-dir", "/x"])
+    assert gl2[:2] == ["--cpu", "eth-ucy"] and gl2[2] == "--agent-frame"
+
 
 def test_cli_anneal_horizon_counts_optimizer_steps(tmp_path, toy_npz,
                                                    capsys):
