@@ -1,16 +1,21 @@
-"""A/B: classifier-triggered rescue vs patience-only graced rescue.
+"""A/B: signature-GATED rescue vs always-on graced rescue vs no rescue.
 
-Controls: the graced-policy LOO artifacts (seed 1 from the r5 8-seed
-completion, seed 3 from r4l).  Treatment: identical arm + graced policy
-plus ``--classify-blocks 2`` — the broad-under-fit signature
-(avg-of-K >= 3x min-of-K, train ADE tracking the avg, flat min) fires
-the rescue after 2 matching evals instead of the full 5-block patience
-(benchmarks/tpu_runbook_r5_clsf.sh).
+The r5 8-seed completion showed the always-on graced rescue converts
+stalled seeds (s1 0.1515 -> 0.0899) but HURTS healthy seeds (s0
+0.0703 -> 0.0829, s2 0.0724 -> 0.1059 vs their no-rescue runs): the 2%
+patience bar fires on healthy slow-improvement plateaus, and each
+false rescue costs a transient plus a diverged stream.
 
-Reports per fold: first-rescue epoch (detection latency), rescues
-fired / fired-by-classifier, best ADE — and the seed-level avg.  The
-claim under test (VERDICT-r4 next #5): detection latency down at equal
-compute, no regression on healthy folds.
+Treatment (benchmarks/tpu_runbook_r5_clsf.sh): signature-GATED rescue —
+patience 60 (never fires on the 60-eval protocol) + ``--classify-blocks
+5``, so the rescue fires ONLY on 5 consecutive flat evals matching the
+measured broad-under-fit signature (avg-of-K >= 3x min-of-K, train ADE
+tracking the avg — benchmarks/stall_diagnosis_r4m.json).  Expected:
+healthy seeds keep their no-rescue trajectory (zero false fires),
+stalled folds still convert.
+
+Reports per seed x fold: best ADE, rescues (total / classifier-fired),
+first-rescue epoch, across the three arms.
 
 Usage: python benchmarks/clsf_rescue_ab.py \
            [--out benchmarks/clsf_rescue_ab_r5.json]
@@ -22,16 +27,20 @@ import argparse
 import json
 import os
 
-import numpy as np
-
 HERE = os.path.dirname(os.path.abspath(__file__))
 SCENES = ("eth", "hotel", "univ", "zara1", "zara2")
 
-PAIRS = {
-    1: ("ethucy_timematched_loo_r5gresc_s1.json",
-        "ethucy_timematched_loo_r5clsf_s1.json"),
-    3: ("ethucy_timematched_loo_r4afsocial_ema_floor02_gresc_s3.json",
-        "ethucy_timematched_loo_r5clsf_s3.json"),
+ARMS = {
+    # seed: {arm: artifact}
+    0: {"no_rescue": "ethucy_timematched_loo_r4afsocial_ema_floor02.json",
+        "always": "ethucy_timematched_loo_r5gresc_s0.json",
+        "gated": "ethucy_timematched_loo_r5gated_s0.json"},
+    1: {"no_rescue": "ethucy_timematched_loo_r4afsocial_ema_floor02_s1.json",
+        "always": "ethucy_timematched_loo_r5gresc_s1.json",
+        "gated": "ethucy_timematched_loo_r5gated_s1.json"},
+    2: {"no_rescue": "ethucy_timematched_loo_r4afsocial_ema_floor02_s2.json",
+        "always": "ethucy_timematched_loo_r5gresc_s2.json",
+        "gated": "ethucy_timematched_loo_r5gated_s2.json"},
 }
 
 
@@ -39,7 +48,6 @@ def _fold_row(fold: dict) -> dict:
     rescues = fold.get("rescues", [])
     return {
         "best_ade": fold["best"]["ade_min20"],
-        "best_fde": fold["best"]["fde_min20"],
         "n_rescues": len(rescues),
         "first_rescue_epoch": rescues[0] if rescues else None,
         "fired_by_classifier": fold.get("rescues_fired_by_classifier"),
@@ -52,9 +60,9 @@ def main():
     args = ap.parse_args()
 
     out = {}
-    for seed, (ctrl_f, trt_f) in PAIRS.items():
+    for seed, arms in ARMS.items():
         row = {}
-        for arm, fname in (("control", ctrl_f), ("classify", trt_f)):
+        for arm, fname in arms.items():
             path = os.path.join(HERE, fname)
             if not os.path.exists(path):
                 row[arm] = {"missing": fname}
@@ -62,23 +70,23 @@ def main():
             with open(path) as fh:
                 d = json.load(fh)
             row[arm] = {
-                "folds": {s: _fold_row(d[s]) for s in SCENES},
                 "avg_best_ade": d["avg_best_ade_min20"],
                 "avg_best_fde": d["avg_best_fde_min20"],
+                "folds": {s: _fold_row(d[s]) for s in SCENES},
                 "artifact": fname,
             }
-        if all("missing" not in row[a] for a in ("control", "classify")):
-            lat = {}
-            for s in SCENES:
-                c = row["control"]["folds"][s]["first_rescue_epoch"]
-                t = row["classify"]["folds"][s]["first_rescue_epoch"]
-                lat[s] = {"control": c, "classify": t,
-                          "earlier_by_epochs":
-                              (c - t) if (c and t) else None}
-            row["detection_latency"] = lat
-            row["delta_avg_best_ade"] = round(
-                row["classify"]["avg_best_ade"]
-                - row["control"]["avg_best_ade"], 4)
+        present = [a for a in row if "missing" not in row[a]]
+        if {"always", "gated"} <= set(present):
+            row["gated_minus_always_avg_ade"] = round(
+                row["gated"]["avg_best_ade"]
+                - row["always"]["avg_best_ade"], 4)
+        if {"no_rescue", "gated"} <= set(present):
+            row["gated_minus_no_rescue_avg_ade"] = round(
+                row["gated"]["avg_best_ade"]
+                - row["no_rescue"]["avg_best_ade"], 4)
+            row["gated_false_fires_on_healthy"] = sum(
+                row["gated"]["folds"][s]["n_rescues"] for s in SCENES
+                if row["no_rescue"]["folds"][s]["best_ade"] < 0.1)
         out[f"seed{seed}"] = row
 
     print(json.dumps(out, indent=1))
