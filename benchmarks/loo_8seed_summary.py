@@ -72,8 +72,9 @@ def main():
     best_seed = min(complete, key=lambda s: complete[s]["avg_best_ade"])
     summary = {
         "protocol": "8-seed graced-rescue LOO matrix; per-fold best "
-                    "min-20 ADE/FDE of a 30k-epoch run, avg over the 5 "
-                    "held-out scenes, one policy "
+                    "min-20 ADE/FDE of a 30k-epoch run at the canonical "
+                    "--block 1000 eval cadence (30 evals), avg over the "
+                    "5 held-out scenes, one policy "
                     "(blocks 5 / grace 2 / max-rescues 3)",
         "arm": "--agent-frame --use-social --g-ema-decay 0.999 "
                "--d-input-noise 0.05 --d-input-noise-steps -1 "
