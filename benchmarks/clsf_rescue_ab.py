@@ -17,6 +17,14 @@ stalled folds still convert.
 Reports per seed x fold: best ADE, rescues (total / classifier-fired),
 first-rescue epoch, across the three arms.
 
+CAVEAT on the no_rescue arm: those artifacts predate the round-4
+RNG-observer-effect fix (commit a7a88b6), so their training streams
+differ from current code — the r4i "stalled seed" labels (s1 0.1515)
+do not reproduce under current streams (the gated runs that fired ZERO
+rescues reached 0.0615-0.0653, not the r4i plateaus).  The valid
+same-stream comparison is always-graced vs gated, both at block 1000
+on current code.
+
 Usage: python benchmarks/clsf_rescue_ab.py \
            [--out benchmarks/clsf_rescue_ab_r5.json]
 """
