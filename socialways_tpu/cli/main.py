@@ -42,7 +42,7 @@ _RECIPES["inoise2"] = _RECIPES["robust1"] + [
 _RECIPES["toy-flagship"] = _RECIPES["inoise2"] + [
     "--agent-frame", "--use-social", "--g-ema-decay", "0.999"]
 # the record LOO/real-data arm (BASELINE.md r5 8-seed matrix:
-# mean 0.0717/0.0897, best seed 0.0637/0.0756):
+# mean 0.0717/0.0881, best seed 0.0637/0.0756):
 # af + social + EMA + annealed D instance noise with a 0.02 floor +
 # graced ADE-stall rescue, on otherwise reference-default training
 # hyperparameters (NO categorical codes / D-lr cooling — those are the
@@ -112,7 +112,7 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "(--agent-frame --use-social --g-ema-decay 0.999 "
                         "+ annealed D instance noise with 0.02 floor + "
                         "graced ADE-stall rescue; 8-seed LOO mean "
-                        "0.0717/0.0897, BASELINE.md r5) — the "
+                        "0.0717/0.0881, BASELINE.md r5) — the "
                         "default for eth-ucy. TOY protocol: robust1 = "
                         "categorical codes + cooled D + auto-recover; "
                         "inoise2 = + annealed D instance noise; "
