@@ -206,7 +206,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "discriminator (params + optimizer) — the "
                         "--stall-reset-d mechanism keyed on eval ADE "
                         "instead of toy coverage, for non-toy data where "
-                        "coverage is undefined (0 = off)")
+                        "coverage is undefined (0 = off; -1 = arm the "
+                        "rescue but fire ONLY on the "
+                        "--ade-stall-classify signature — the gated "
+                        "policy that won every r5 A/B seed)")
     p.add_argument("--ade-stall-grace", type=int, default=2,
                    help="post-rescue grace: skip ADE-stall counting for "
                         "G evals after each rescue — G re-trains against "
@@ -570,6 +573,11 @@ def cmd_train(args) -> int:
               "no test split or --test-interval reaches --epochs (the "
               "only eval would land at run end, where rescue is "
               "pointless), so no rescue can ever fire")
+    if (args.ade_stall_recover < 0
+            and getattr(args, "ade_stall_classify", 0) <= 0):
+        print("WARNING: --ade-stall-recover -1 (gated mode) without "
+              "--ade-stall-classify N is inert — the patience path is "
+              "disabled and no signature trigger is armed")
     bestcov_file = os.path.join(cfg.model_dir,
                                 f"{args.model}-{cfg.dataset}-bestcov.npz")
     state = trainer.init_state()

@@ -93,7 +93,11 @@ class StallTracker:
         """Record one eval; True when a rescue should fire now.
 
         ``ade_avg``/``train_ade`` (both optional) feed the under-fit
-        signature classifier; patience-only callers are unchanged."""
+        signature classifier; patience-only callers are unchanged.
+        ``patience < 0`` = classify-ONLY (gated) mode: the tracker is
+        armed but the blunt patience path never fires — the measured
+        winner of the r5 gated A/B (false fires eliminated at zero
+        loss; the s6/univ 0.193 matrix cell was rescue-induced)."""
         if not self.patience:
             return False
         if self.grace > 0:
@@ -122,7 +126,7 @@ class StallTracker:
                   and self.ineffective >= self.max_rescues)
         if capped:
             return False
-        if self.stall >= self.patience:
+        if self.patience > 0 and self.stall >= self.patience:
             return True
         if (self.classify_patience
                 and self.signature_hits >= self.classify_patience):

@@ -1315,3 +1315,30 @@ def test_jitter_generator_perturbs_only_raw_g():
     for a, b in zip(jax.tree_util.tree_leaves(state.g_opt),
                     jax.tree_util.tree_leaves(out.g_opt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stall_tracker_gated_mode():
+    """patience < 0 = classify-ONLY (gated) mode: the blunt patience
+    path never fires; only the under-fit signature does (the policy
+    that won every r5 A/B seed)."""
+    from socialways_tpu.engine.rescue import StallTracker
+
+    # flat but healthy-shaped evals: NEVER fires, at any count
+    t = StallTracker(-1, classify_patience=2)
+    assert not any(t.observe(0.10, ade_avg=0.18, train_ade=0.2)
+                   for _ in range(40))
+    # signature-matching flat evals: fires after classify_patience
+    t = StallTracker(-1, classify_patience=2)
+    assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert t.fired_early == 1
+    # the ineffective-rescue cap still applies in gated mode
+    t2 = StallTracker(-1, classify_patience=1, max_rescues=1)
+    t2.observe(0.2, ade_avg=0.7, train_ade=0.6)       # sets bar
+    assert t2.observe(0.2, ade_avg=0.7, train_ade=0.6)
+    t2.fired(0.2, at_epoch=1)
+    assert t2.observe(0.2, ade_avg=0.7, train_ade=0.6)
+    assert t2.fired(0.2, at_epoch=2) == 1
+    assert not any(t2.observe(0.2, ade_avg=0.7, train_ade=0.6)
+                   for _ in range(5))                 # capped
