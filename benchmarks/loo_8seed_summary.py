@@ -28,15 +28,22 @@ SCENES = ("eth", "hotel", "univ", "zara1", "zara2")
 # ALL EIGHT seeds from round-5 code: a seed-5 repro run showed the r4l
 # artifacts do not reproduce under current streams (the round-4 RNG fix
 # landed mid-matrix there), so mixing them would not be one policy.
-ARTIFACTS = {s: f"ethucy_timematched_loo_r5gresc_s{s}.json"
-             for s in range(8)}
+# Two full matrices exist: "always" (patience 5 graced — the r4l
+# policy) and "gated" (--ade-stall-recover -1 --ade-stall-classify 5 —
+# fires only on the measured under-fit signature; the recommended
+# policy since r5: mean 0.0657 vs 0.0717, worst seed 0.0686 vs 0.0921,
+# one rescue across all 40 fold-runs, classifier-fired on a true stall).
+ARMS = {"always": "ethucy_timematched_loo_r5gresc_s{s}.json",
+        "gated": "ethucy_timematched_loo_r5gated_s{s}.json"}
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--arm", default="gated", choices=list(ARMS))
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
+    ARTIFACTS = {s: ARMS[args.arm].format(s=s) for s in range(8)}
     rows = {}
     for seed in sorted(ARTIFACTS):
         path = os.path.join(HERE, ARTIFACTS[seed])
@@ -64,7 +71,8 @@ def main():
     worst_seed = max(complete, key=lambda s: complete[s]["avg_best_ade"])
     best_seed = min(complete, key=lambda s: complete[s]["avg_best_ade"])
     summary = {
-        "protocol": "8-seed graced-rescue LOO matrix; per-fold best "
+        "arm_policy": args.arm,
+        "protocol": "8-seed LOO matrix; per-fold best "
                     "min-20 ADE/FDE of a 30k-epoch run at the canonical "
                     "--block 1000 eval cadence (30 evals), avg over the "
                     "5 held-out scenes, one policy "

@@ -50,7 +50,12 @@ _RECIPES["toy-flagship"] = _RECIPES["inoise2"] + [
 _RECIPES["loo"] = [
     "--agent-frame", "--use-social", "--g-ema-decay", "0.999",
     "--d-input-noise", "0.05", "--d-input-noise-steps", "-1",
-    "--d-input-noise-floor", "0.02", "--ade-stall-recover", "5"]
+    "--d-input-noise-floor", "0.02",
+    # gated rescue (r5 8-seed matrix: mean 0.0657 vs always-policy
+    # 0.0717, worst seed 0.0686 vs 0.0921; every patience-fired rescue
+    # measured was a false positive) — fire ONLY on the under-fit
+    # signature
+    "--ade-stall-recover", "-1", "--ade-stall-classify", "5"]
 
 #: deprecated names -> replacement (expanded with a stderr note)
 _RECIPE_ALIASES = {"flagship": "toy-flagship"}
@@ -97,7 +102,7 @@ def _apply_recipe(argv):
         # the LOO protocol defaults to its own record arm — the measured
         # best configuration for exactly this benchmark (BASELINE.md r4l)
         print("NOTE: eth-ucy defaults to --recipe loo (the record arm: "
-              "af+social+EMA+noise-floor+graced rescue); pass --recipe= "
+              "af+social+EMA+noise-floor+gated rescue); pass --recipe= "
               "for bare reference-default hyperparameters",
               file=sys.stderr)
         return argv[:sub_i + 1] + _RECIPES["loo"] + argv[sub_i + 1:]
@@ -111,8 +116,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "REAL DATA: 'loo' = the record LOO arm "
                         "(--agent-frame --use-social --g-ema-decay 0.999 "
                         "+ annealed D instance noise with 0.02 floor + "
-                        "graced ADE-stall rescue; 8-seed LOO mean "
-                        "0.0717/0.0881, BASELINE.md r5) — the "
+                        "signature-GATED ADE-stall rescue; 8-seed LOO "
+                        "mean 0.0657/0.0774, worst seed 0.0686, "
+                        "BASELINE.md r5) — the "
                         "default for eth-ucy. TOY protocol: robust1 = "
                         "categorical codes + cooled D + auto-recover; "
                         "inoise2 = + annealed D instance noise; "

@@ -251,7 +251,10 @@ def test_cli_recipe_loo_is_the_documented_record_arm(capsys):
     assert cfg.d_input_noise == 0.05
     assert cfg.d_input_noise_steps == -1
     assert cfg.d_input_noise_floor == 0.02
-    assert args.ade_stall_recover == 5
+    # gated rescue: patience path disarmed, signature trigger armed
+    # (the policy that won the r5 8-seed A/B)
+    assert args.ade_stall_recover == -1
+    assert args.ade_stall_classify == 5
     assert args.ade_stall_grace == 2 and args.ade_stall_max_rescues == 3
     # and NOT the toy bundle's hyperparameters (the 6.4x-worse r4m arm)
     assert cfg.latent_code_type == "continuous"
