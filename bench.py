@@ -446,9 +446,14 @@ def _load_baseline_cache() -> dict:
         session_social = cache.get("torch_eager_social_measurements")
         if session_social is None and cache.get(
                 "torch_eager_social_steps_per_sec"):
+            # legacy session scalar: date it today (it was measured this
+            # session) and round like every other entry so the merge
+            # dedups it against an already-recorded measurement
+            import datetime
             session_social = [{
-                "date": "session",
-                "steps_per_sec": cache["torch_eager_social_steps_per_sec"]}]
+                "date": datetime.date.today().isoformat(),
+                "steps_per_sec": round(
+                    cache["torch_eager_social_steps_per_sec"], 3)}]
         merged_social = _merge_measurements(session_social, committed_social)
         if merged_social:
             cache["torch_eager_social_measurements"] = merged_social
