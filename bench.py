@@ -446,14 +446,20 @@ def _load_baseline_cache() -> dict:
         session_social = cache.get("torch_eager_social_measurements")
         if session_social is None and cache.get(
                 "torch_eager_social_steps_per_sec"):
-            # legacy session scalar: date it today (it was measured this
-            # session) and round like every other entry so the merge
-            # dedups it against an already-recorded measurement
+            # legacy session scalar: date it by the cache file's mtime
+            # (the session day it was written — "today" would be wrong
+            # on a multi-day container) and round like every other
+            # entry; skip entirely if the committed history already
+            # carries the same value (it IS that measurement)
             import datetime
-            session_social = [{
-                "date": datetime.date.today().isoformat(),
-                "steps_per_sec": round(
-                    cache["torch_eager_social_steps_per_sec"], 3)}]
+            val = round(cache["torch_eager_social_steps_per_sec"], 3)
+            if any(m["steps_per_sec"] == val
+                   for m in committed_social or []):
+                session_social = []
+            else:
+                day = datetime.date.fromtimestamp(
+                    os.path.getmtime(_BASELINE_CACHE)).isoformat()
+                session_social = [{"date": day, "steps_per_sec": val}]
         merged_social = _merge_measurements(session_social, committed_social)
         if merged_social:
             cache["torch_eager_social_measurements"] = merged_social

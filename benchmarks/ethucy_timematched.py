@@ -204,6 +204,7 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
                 jittered = True
             print({"rescue_at": done, "from_best_epoch":
                    best["at_epoch"], "ineffective_streak": streak,
+                   "trigger": tracker.last_trigger,
                    "g_jittered": jittered},
                   flush=True)
 

@@ -70,16 +70,21 @@ def main():
     fdes = [r["avg_best_fde"] for r in complete.values()]
     worst_seed = max(complete, key=lambda s: complete[s]["avg_best_ade"])
     best_seed = min(complete, key=lambda s: complete[s]["avg_best_ade"])
+    policy = {"always": "--stall-blocks 5 --stall-grace 2 "
+                        "--stall-max-rescues 3 (always-on graced)",
+              "gated": "--stall-blocks 31 --stall-grace 2 "
+                       "--stall-max-rescues 3 --classify-blocks 5 "
+                       "(signature-gated; CLI: --ade-stall-recover -1 "
+                       "--ade-stall-classify 5)"}[args.arm]
     summary = {
         "arm_policy": args.arm,
         "protocol": "8-seed LOO matrix; per-fold best "
                     "min-20 ADE/FDE of a 30k-epoch run at the canonical "
                     "--block 1000 eval cadence (30 evals), avg over the "
-                    "5 held-out scenes, one policy "
-                    "(blocks 5 / grace 2 / max-rescues 3)",
+                    "5 held-out scenes, one policy: " + policy,
         "arm": "--agent-frame --use-social --g-ema-decay 0.999 "
                "--d-input-noise 0.05 --d-input-noise-steps -1 "
-               "--d-input-noise-floor 0.02",
+               "--d-input-noise-floor 0.02 + " + policy,
         "seeds_present": sorted(complete),
         "mean_avg_ade": round(float(np.mean(ades)), 4),
         "median_avg_ade": round(float(np.median(ades)), 4),

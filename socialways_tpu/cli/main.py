@@ -237,9 +237,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "avg — the measured broad-under-fit stall "
                         "signature (benchmarks/stall_diagnosis_r4m) — "
                         "instead of waiting out the full "
-                        "--ade-stall-recover patience. Healthy folds "
-                        "(avg/min 1.3-1.9x) never match. 0 = "
-                        "patience-only")
+                        "--ade-stall-recover patience; works standalone "
+                        "(without --ade-stall-recover it arms the gated "
+                        "rescue by itself). Healthy folds (avg/min "
+                        "1.3-1.9x) never match. 0 = patience-only")
     p.add_argument("--rescue-keep-clock", action="store_true",
                    help="checkpoint-restore rescues (--auto-recover, "
                         "--stall-recover) keep the optimizer step counts "
@@ -569,8 +570,10 @@ def cmd_train(args) -> int:
                                max_rescues=args.ade_stall_max_rescues,
                                classify_patience=getattr(
                                    args, "ade_stall_classify", 0))
-    if args.ade_stall_recover and (trainer.test_packed is None
-                                   or cfg.test_interval >= cfg.n_epochs):
+    if ((args.ade_stall_recover
+         or getattr(args, "ade_stall_classify", 0))
+            and (trainer.test_packed is None
+                 or cfg.test_interval >= cfg.n_epochs)):
         # the stall machine lives inside the periodic-eval block; with
         # no test split it never evaluates, and with test_interval >=
         # n_epochs the only eval lands at run end where the rescue's
@@ -690,13 +693,18 @@ def cmd_train(args) -> int:
                 rng, kd = jax.random.split(rng)
                 state = reinit_discriminator(state, cfg, kd)
                 ade_tracker.fired(best_ade, at_epoch=epoch)
+                trigger = (f"under-fit signature matched for "
+                           f"{args.ade_stall_classify} evals"
+                           if ade_tracker.last_trigger == "classifier"
+                           else f"unimproved for "
+                                f"{args.ade_stall_recover} evals")
                 print(f"ADE STALLED at epoch {epoch} (best "
-                      f"{best_ade:.3f} unimproved for "
-                      f"{args.ade_stall_recover} evals); restored best "
+                      f"{best_ade:.3f}, {trigger}); restored best "
                       f"checkpoint from epoch {b_epoch} with a "
                       f"RE-INITIALIZED discriminator")
                 _log_metrics(args.metrics_log, kind="rescue",
-                             epoch=epoch, ade_stall=True)
+                             epoch=epoch, ade_stall=True,
+                             trigger=ade_tracker.last_trigger)
             if args.track_coverage:
                 cov = _eval_coverage(trainer, state, ds, cfg, rng)
                 print(f"mode coverage = {cov:.2f}")
@@ -886,11 +894,12 @@ def cmd_predict(args) -> int:
     cfg = adopt_checkpoint_config(cfg, args.model_file)
 
     agent_idx = at_time = None
-    # horizons: explicit flags win; otherwise the checkpoint's training
-    # horizons (G's rollout works for any horizon, but serving with the
-    # trained one is the sane default)
-    n_past = args.n_past if args.n_past != 8 else cfg.n_past
-    n_next = args.n_next if args.n_next != 12 else cfg.n_next
+    # horizons: explicit flags win (None sentinel — an explicit value
+    # equal to the old default must still win); otherwise the
+    # checkpoint's training horizons (G's rollout works for any horizon,
+    # but serving with the trained one is the calibrated default)
+    n_past = args.n_past if args.n_past is not None else cfg.n_past
+    n_next = args.n_next if args.n_next is not None else cfg.n_next
     if args.data.endswith(".npz"):
         d = np.load(args.data)
         obsvs_w = np.asarray(d["obsvs"], np.float32)        # world coords
@@ -1097,8 +1106,8 @@ def cmd_simulate(args) -> int:
     from socialways_tpu.engine.simulate import make_crowd_sim
     from socialways_tpu.models import init_generator
 
-    cfg = _cfg_from_args(args).replace(
-        use_social=True, n_past=8, n_next=12,
+    sim_knobs = dict(
+        n_past=8, n_next=12,
         use_pallas=not args.no_pallas and jax.default_backend() == "tpu",
         max_scene_size=args.scene_size)
 
@@ -1106,18 +1115,25 @@ def cmd_simulate(args) -> int:
         from socialways_tpu.engine.train_step import (eval_params,
                                                       init_train_state)
         from socialways_tpu.io.checkpoint import (adopt_checkpoint_config,
-                                                  restore_checkpoint)
-        # the checkpoint decides the model (use_social/agent_frame/widths);
-        # runtime-only sim knobs are re-applied after adoption
-        cfg = adopt_checkpoint_config(cfg, args.model_file).replace(
-            use_pallas=not args.no_pallas
-            and jax.default_backend() == "tpu",
-            max_scene_size=args.scene_size)
+                                                  load_checkpoint_config)
+        from socialways_tpu.io.checkpoint import restore_checkpoint
+        # the checkpoint decides the model (use_social/agent_frame/
+        # widths) — adopt BEFORE applying the sim's legacy use_social
+        # force, so a plain checkpoint doesn't draw a spurious
+        # "contradicting flag" warning for a flag the user never passed.
+        # Configless (pre-r5) checkpoints keep the legacy social default.
+        cfg = adopt_checkpoint_config(_cfg_from_args(args),
+                                      args.model_file)
+        if load_checkpoint_config(args.model_file) is None \
+                and not args.use_social:
+            cfg = cfg.replace(use_social=True)
+        cfg = cfg.replace(**sim_knobs)
         state, _, _, _ = restore_checkpoint(args.model_file,
                                             init_train_state(
                                                 jax.random.PRNGKey(0), cfg))
         params = eval_params(state)
     else:
+        cfg = _cfg_from_args(args).replace(use_social=True, **sim_knobs)
         params = init_generator(jax.random.PRNGKey(cfg.seed), cfg)
 
     n = args.agents
@@ -1277,11 +1293,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["biwi", "trajnet", "sdd", "seyfried"],
                    help="raw-mode annotation format")
     p.add_argument("--down-sample", type=int, default=None)
-    p.add_argument("--n-past", type=int, default=8,
-                   help="raw mode: observation window length")
-    p.add_argument("--n-next", type=int, default=12,
-                   help="forecast horizon (must match the checkpoint's "
-                        "training horizon for calibrated outputs)")
+    p.add_argument("--n-past", type=int, default=None,
+                   help="raw mode: observation window length (default: "
+                        "the checkpoint's training n_past; 8 for "
+                        "configless checkpoints)")
+    p.add_argument("--n-next", type=int, default=None,
+                   help="forecast horizon (default: the checkpoint's "
+                        "training n_next, the calibrated choice; 12 for "
+                        "configless checkpoints)")
     p.add_argument("--at-time", type=int, default=-1,
                    help="raw mode: forecast the scene at this timestamp "
                         "(-1 = the latest with a full-history agent)")

@@ -285,7 +285,9 @@ def run_leave_one_out(
     perturb the training keys of a same-seed run.
     """
     n_epochs = n_epochs or cfg.n_epochs
-    if ade_stall_recover and eval_every <= 0:
+    if (ade_stall_recover or ade_stall_classify) and eval_every <= 0:
+        # classify-only arming (recover 0/-1 + classify N) needs the
+        # periodic evals just as the patience path does
         eval_every = max(n_epochs // 30, 1)
     # reflect the override into cfg BEFORE Trainer sees it: schedule
     # horizons derived from cfg.n_epochs (the d_input_noise_steps=-1
@@ -374,7 +376,8 @@ def run_leave_one_out(
                 state = reinit_discriminator(best_state, cfg, kd)
                 tracker.fired(best["best_ade_min"], at_epoch=done)
                 if verbose:
-                    print(f"  [{held_out}] ADE stalled @{done}; restored "
+                    print(f"  [{held_out}] ADE stalled @{done} "
+                          f"({tracker.last_trigger} trigger); restored "
                           f"best (epoch {best['best_at_epoch']}) with a "
                           f"re-initialized discriminator")
         total_wall = time.perf_counter() - tic_total

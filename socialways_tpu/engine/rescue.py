@@ -86,7 +86,11 @@ class StallTracker:
         self.best_at_last_rescue = float("inf")
         self.rescues: List[int] = []
         self.signature_hits = 0       # consecutive signature-matching evals
-        self.fired_early = 0          # rescues fired by the classifier
+        self.fired_early = 0          # EXECUTED rescues fired by the
+                                      # classifier (counted in fired())
+        self.last_trigger = ""        # "patience" | "classifier" — what
+                                      # made the latest observe() True
+        self._pending_early = False   # latest True came from the classifier
 
     def observe(self, ade: float, ade_avg: float | None = None,
                 train_ade: float | None = None) -> bool:
@@ -94,11 +98,12 @@ class StallTracker:
 
         ``ade_avg``/``train_ade`` (both optional) feed the under-fit
         signature classifier; patience-only callers are unchanged.
-        ``patience < 0`` = classify-ONLY (gated) mode: the tracker is
-        armed but the blunt patience path never fires — the measured
-        winner of the r5 gated A/B (false fires eliminated at zero
-        loss; the s6/univ 0.193 matrix cell was rescue-induced)."""
-        if not self.patience:
+        ``patience < 0`` (or 0 with ``classify_patience > 0``) =
+        classify-ONLY (gated) mode: the tracker is armed but the blunt
+        patience path never fires — the measured winner of the r5 gated
+        A/B (false fires eliminated at zero loss; the s6/univ 0.193
+        matrix cell was rescue-induced)."""
+        if not self.patience and not self.classify_patience:
             return False
         if self.grace > 0:
             # post-rescue transient (G vs the fresh random D): these
@@ -127,17 +132,24 @@ class StallTracker:
         if capped:
             return False
         if self.patience > 0 and self.stall >= self.patience:
+            self.last_trigger, self._pending_early = "patience", False
             return True
         if (self.classify_patience
                 and self.signature_hits >= self.classify_patience):
-            self.fired_early += 1
+            self.last_trigger, self._pending_early = "classifier", True
             return True
         return False
 
     def fired(self, best_ade: float, at_epoch: int) -> int:
-        """Record a rescue that just fired; returns the consecutive-
+        """Record a rescue that just EXECUTED; returns the consecutive-
         ineffective streak (0 = the interval since the previous rescue
-        produced a new global best)."""
+        produced a new global best).  ``fired_early`` counts executed
+        classifier-triggered rescues here — not in observe(), whose
+        True can still be suppressed by caller guards (e.g. the
+        run-end ``done < n_epochs`` check)."""
+        if self._pending_early:
+            self.fired_early += 1
+            self._pending_early = False
         if best_ade < self.best_at_last_rescue * self.improve:
             self.ineffective = 0      # the last rescue found a new
         else:                         # basin — reset the cap

@@ -136,10 +136,13 @@ def adopt_checkpoint_config(cfg: TrainConfig, path: str,
         if cli_val == ckpt_val:
             continue
         if cli_val != getattr(defaults, field):
-            print(f"WARNING: --{field.replace('_', '-')}={cli_val!r} "
-                  f"contradicts the checkpoint's {field}={ckpt_val!r}; "
-                  f"using the checkpoint's value (the weights were "
-                  f"trained with it)", file=warn_stream)
+            # name the config FIELD, not a fabricated "--flag": several
+            # fields derive from one flag (--h-size sets hidden_size,
+            # social_feature_size and noise_len) and some have no flag
+            print(f"WARNING: requested {field}={cli_val!r} contradicts "
+                  f"the checkpoint's {field}={ckpt_val!r}; using the "
+                  f"checkpoint's value (the weights were trained with "
+                  f"it)", file=warn_stream)
         overrides[field] = ckpt_val
     return cfg.replace(**overrides) if overrides else cfg
 

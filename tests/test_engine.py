@@ -1240,8 +1240,10 @@ def test_stall_tracker_classifier_early_trigger():
     assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)  # sets bar
     assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)  # hit 1
     assert t.observe(0.20, ade_avg=0.70, train_ade=0.63)      # hit 2 -> fire
-    assert t.fired_early == 1
+    assert t.last_trigger == "classifier"
+    assert t.fired_early == 0          # counted only when EXECUTED
     t.fired(0.20, at_epoch=3)
+    assert t.fired_early == 1
     assert t.signature_hits == 0
 
     # healthy diversity ratio (avg/min ~1.8): no early fire; the
@@ -1250,7 +1252,9 @@ def test_stall_tracker_classifier_early_trigger():
     fires = [t.observe(0.10, ade_avg=0.18, train_ade=0.20)
              for _ in range(6)]
     assert fires == [False] * 5 + [True]          # bar eval + patience 5
-    assert t.fired_early == 0
+    assert t.last_trigger == "patience"
+    t.fired(0.10, at_epoch=6)
+    assert t.fired_early == 0          # patience fire, not classifier
 
     # overfit shape (train << avg) does not match the under-fit signature
     t = StallTracker(5, classify_patience=2)
@@ -1278,6 +1282,7 @@ def test_stall_tracker_classifier_early_trigger():
     t.observe(0.20, ade_avg=0.70)
     t.observe(0.20, ade_avg=0.70)
     assert t.observe(0.20, ade_avg=0.70)
+    t.fired(0.20, at_epoch=3)
     assert t.fired_early == 1
 
 
@@ -1332,7 +1337,15 @@ def test_stall_tracker_gated_mode():
     assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)
     assert not t.observe(0.20, ade_avg=0.70, train_ade=0.63)
     assert t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    t.fired(0.20, at_epoch=3)
     assert t.fired_early == 1
+    # patience 0 with classify armed is ALSO gated mode (no silent
+    # inert combination): --ade-stall-classify alone works
+    t0 = StallTracker(0, classify_patience=2)
+    t0.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    t0.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert t0.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert t0.last_trigger == "classifier"
     # the ineffective-rescue cap still applies in gated mode
     t2 = StallTracker(-1, classify_patience=1, max_rescues=1)
     t2.observe(0.2, ade_avg=0.7, train_ade=0.6)       # sets bar
