@@ -41,9 +41,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arm", default="gated", choices=list(ARMS))
     ap.add_argument("--out", default="")
+    ap.add_argument("--seeds", default="0-7",
+                    help="seed range A-B inclusive (default 0-7; the "
+                         "round-5 closing session adds the out-of-sample "
+                         "extension seeds 8-15, --seeds 0-15)")
     args = ap.parse_args()
 
-    ARTIFACTS = {s: ARMS[args.arm].format(s=s) for s in range(8)}
+    lo, hi = (int(x) for x in args.seeds.split("-"))
+    ARTIFACTS = {s: ARMS[args.arm].format(s=s) for s in range(lo, hi + 1)}
     rows = {}
     for seed in sorted(ARTIFACTS):
         path = os.path.join(HERE, ARTIFACTS[seed])
@@ -78,7 +83,8 @@ def main():
                        "--ade-stall-classify 5)"}[args.arm]
     summary = {
         "arm_policy": args.arm,
-        "protocol": "8-seed LOO matrix; per-fold best "
+        "seed_range": args.seeds,
+        "protocol": f"{len(complete)}-seed LOO matrix; per-fold best "
                     "min-20 ADE/FDE of a 30k-epoch run at the canonical "
                     "--block 1000 eval cadence (30 evals), avg over the "
                     "5 held-out scenes, one policy: " + policy,
