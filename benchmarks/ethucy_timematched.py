@@ -205,6 +205,7 @@ def run_fold(fold_npz: str, fold_name: str, args) -> dict:
             print({"rescue_at": done, "from_best_epoch":
                    best["at_epoch"], "ineffective_streak": streak,
                    "trigger": tracker.last_trigger,
+                   "signature": tracker.last_signature,
                    "g_jittered": jittered},
                   flush=True)
 

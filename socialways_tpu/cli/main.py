@@ -53,8 +53,8 @@ _RECIPES["loo"] = [
     "--d-input-noise-floor", "0.02",
     # gated rescue (r5 8-seed matrix: mean 0.0657 vs always-policy
     # 0.0717, worst seed 0.0686 vs 0.0921; every patience-fired rescue
-    # measured was a false positive) — fire ONLY on the under-fit
-    # signature
+    # measured was a false positive) — fire ONLY on a matched stall
+    # signature (broad-under-fit or diversity-collapse)
     "--ade-stall-recover", "-1", "--ade-stall-classify", "5"]
 
 #: deprecated names -> replacement (expanded with a stderr note)
@@ -232,15 +232,18 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "a transient; 0 = unlimited)")
     p.add_argument("--ade-stall-classify", type=int, default=0,
                    help="signature-matched EARLY rescue: fire after N "
-                        "consecutive flat evals whose avg-of-K ADE is "
-                        ">=3x the min-of-K with train ADE tracking the "
-                        "avg — the measured broad-under-fit stall "
-                        "signature (benchmarks/stall_diagnosis_r4m) — "
-                        "instead of waiting out the full "
-                        "--ade-stall-recover patience; works standalone "
-                        "(without --ade-stall-recover it arms the gated "
-                        "rescue by itself). Healthy folds (avg/min "
-                        "1.3-1.9x) never match. 0 = patience-only")
+                        "consecutive flat evals matching a measured "
+                        "stall signature — broad-under-fit (avg-of-K "
+                        "ADE >=3x the min-of-K with train ADE tracking "
+                        "the avg; benchmarks/stall_diagnosis_r4m) or "
+                        "diversity-collapse (avg-of-K <=1.2x min-of-K, "
+                        "the K samples near-identical; the r5 "
+                        "seed-9/eth mechanism) — instead of waiting "
+                        "out the full --ade-stall-recover patience; "
+                        "works standalone (without --ade-stall-recover "
+                        "it arms the gated rescue by itself). Healthy "
+                        "folds (avg/min 1.3-3.4x) match neither. "
+                        "0 = patience-only")
     p.add_argument("--rescue-keep-clock", action="store_true",
                    help="checkpoint-restore rescues (--auto-recover, "
                         "--stall-recover) keep the optimizer step counts "
@@ -693,8 +696,8 @@ def cmd_train(args) -> int:
                 rng, kd = jax.random.split(rng)
                 state = reinit_discriminator(state, cfg, kd)
                 ade_tracker.fired(best_ade, at_epoch=epoch)
-                trigger = (f"under-fit signature matched for "
-                           f"{args.ade_stall_classify} evals"
+                trigger = (f"{ade_tracker.last_signature} signature "
+                           f"matched for {args.ade_stall_classify} evals"
                            if ade_tracker.last_trigger == "classifier"
                            else f"unimproved for "
                                 f"{args.ade_stall_recover} evals")
@@ -704,7 +707,8 @@ def cmd_train(args) -> int:
                       f"RE-INITIALIZED discriminator")
                 _log_metrics(args.metrics_log, kind="rescue",
                              epoch=epoch, ade_stall=True,
-                             trigger=ade_tracker.last_trigger)
+                             trigger=ade_tracker.last_trigger,
+                             signature=ade_tracker.last_signature)
             if args.track_coverage:
                 cov = _eval_coverage(trainer, state, ds, cfg, rng)
                 print(f"mode coverage = {cov:.2f}")

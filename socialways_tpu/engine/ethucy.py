@@ -273,12 +273,14 @@ def run_leave_one_out(
     (see engine/rescue.py).
 
     ``ade_stall_classify`` = N arms the signature-matched EARLY trigger
-    (benchmarks/stall_diagnosis_r4m.json): the measured stall mechanism
-    is a broad-distribution under-fit equilibrium whose signature —
-    avg-of-K ≥ 3× min-of-K with train ADE tracking the eval avg — is
-    logged per eval anyway; N consecutive flat signature-matching evals
-    fire the rescue without waiting out the full patience.  Healthy
-    folds (avg/min ≈ 1.3-1.9) never match.  0 = patience-only.
+    (benchmarks/stall_diagnosis_r4m.json): N consecutive flat evals
+    matching a measured stall signature fire the rescue without waiting
+    out the full patience.  Two signatures are matched (both measured,
+    engine/rescue.py): broad-under-fit (avg-of-K ≥ 3× min-of-K with
+    train ADE tracking the eval avg — the r4m mechanism) and
+    diversity-collapse (avg-of-K ≤ 1.2× min-of-K, i.e. the K samples
+    are near-identical — the r5 seed-9/eth mechanism).  Healthy folds
+    (avg/min ≈ 1.3-3.4) match neither.  0 = patience-only.
 
     Eval and rescue keys come from streams independent of the training
     stream, so arming ``eval_every``/``ade_stall_recover`` does not
@@ -376,10 +378,12 @@ def run_leave_one_out(
                 state = reinit_discriminator(best_state, cfg, kd)
                 tracker.fired(best["best_ade_min"], at_epoch=done)
                 if verbose:
+                    sig = (f" [{tracker.last_signature}]"
+                           if tracker.last_trigger == "classifier" else "")
                     print(f"  [{held_out}] ADE stalled @{done} "
-                          f"({tracker.last_trigger} trigger); restored "
-                          f"best (epoch {best['best_at_epoch']}) with a "
-                          f"re-initialized discriminator")
+                          f"({tracker.last_trigger} trigger{sig}); "
+                          f"restored best (epoch {best['best_at_epoch']}) "
+                          f"with a re-initialized discriminator")
         total_wall = time.perf_counter() - tic_total
 
         if last_ev_at == done:

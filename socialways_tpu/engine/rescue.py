@@ -61,7 +61,8 @@ class StallTracker:
 
     def __init__(self, patience: int, grace: int = 0,
                  max_rescues: int = 0, improve: float = 0.98,
-                 classify_patience: int = 0, classify_ratio: float = 3.0):
+                 classify_patience: int = 0, classify_ratio: float = 3.0,
+                 collapse_ratio: float = 1.2):
         self.patience = patience
         self.grace_n = grace
         self.max_rescues = max_rescues
@@ -79,6 +80,21 @@ class StallTracker:
         # shipped policy).
         self.classify_patience = classify_patience
         self.classify_ratio = classify_ratio
+        # second stall class, found by the round-5 out-of-sample seed
+        # extension (seed 9 / eth, benchmarks/
+        # tpu_runbook_r5_gated_ext.log): min-of-K ≈ avg-of-K ≈ const
+        # for 25k epochs with D dominating (d_loss → 0.19) — the K=20
+        # noise draws produce near-identical rollouts, i.e. DIVERSITY
+        # COLLAPSE, the opposite tail from the under-fit signature and
+        # invisible to it (avg/min ≈ 1.0 vs its ≥ 3.0 gate).  Healthy
+        # folds never leave avg/min ≈ 1.3-3.4 on this protocol (the
+        # post-EMA late-run floor is ≈ 2.4), so a stalled streak at
+        # avg ≤ collapse_ratio × min is unambiguous.  Shares
+        # ``classify_patience`` and the fresh-D rescue (D dominance is
+        # exactly what a re-initialized D removes).
+        self.collapse_ratio = collapse_ratio
+        self.last_signature = ""      # "underfit" | "collapse" — which
+                                      # signature the current streak hit
         self.bar = float("inf")
         self.stall = 0
         self.grace = 0
@@ -96,8 +112,9 @@ class StallTracker:
                 train_ade: float | None = None) -> bool:
         """Record one eval; True when a rescue should fire now.
 
-        ``ade_avg``/``train_ade`` (both optional) feed the under-fit
-        signature classifier; patience-only callers are unchanged.
+        ``ade_avg``/``train_ade`` (both optional) feed the signature
+        classifier (under-fit and diversity-collapse, see __init__);
+        patience-only callers are unchanged.
         ``patience < 0`` (or 0 with ``classify_patience > 0``) =
         classify-ONLY (gated) mode: the tracker is armed but the blunt
         patience path never fires — the measured winner of the r5 gated
@@ -120,11 +137,19 @@ class StallTracker:
             # under-fit signature: diverse-but-inaccurate (avg >> min)
             # and NOT overfit (train tracks the eval avg) — the exact
             # ratios of benchmarks/stall_diagnosis_r4m.json
-            if (self.classify_patience and ade_avg is not None
-                    and ade_avg >= self.classify_ratio * ade
-                    and (train_ade is None
-                         or train_ade > 0.5 * ade_avg)):
+            underfit = (ade_avg is not None
+                        and ade_avg >= self.classify_ratio * ade
+                        and (train_ade is None
+                             or train_ade > 0.5 * ade_avg))
+            # diversity-collapse signature (r5 seed-9/eth): the K
+            # samples are near-identical, so min-of-K ≈ avg-of-K —
+            # healthy runs never stall at avg/min ≤ ~1.2 (see __init__)
+            collapse = (ade_avg is not None
+                        and ade_avg <= self.collapse_ratio * ade)
+            if self.classify_patience and (underfit or collapse):
                 self.signature_hits += 1
+                self.last_signature = ("underfit" if underfit
+                                       else "collapse")
             else:
                 self.signature_hits = 0
         capped = (self.max_rescues

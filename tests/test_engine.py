@@ -1355,3 +1355,44 @@ def test_stall_tracker_gated_mode():
     assert t2.fired(0.2, at_epoch=2) == 1
     assert not any(t2.observe(0.2, ade_avg=0.7, train_ade=0.6)
                    for _ in range(5))                 # capped
+
+
+def test_stall_tracker_collapse_signature():
+    """The second stall class, found by the r5 out-of-sample seed
+    extension (seed 9 / eth): min-of-K ~= avg-of-K (the K samples are
+    near-identical -> diversity collapse) while the best is flat.  The
+    under-fit gate (avg/min >= 3) is blind to it; the collapse gate
+    (avg <= 1.2 x min, stalled) fires on the same classify_patience."""
+    from socialways_tpu.engine.rescue import StallTracker
+
+    # the measured seed-9/eth shape: min 0.69, avg 0.70 (ratio 1.01),
+    # flat for many evals -> fires after classify_patience in gated mode
+    t = StallTracker(-1, classify_patience=2)
+    assert not t.observe(0.69, ade_avg=0.70, train_ade=0.50)  # sets bar
+    assert not t.observe(0.69, ade_avg=0.70, train_ade=0.50)  # hit 1
+    assert t.observe(0.69, ade_avg=0.70, train_ade=0.50)      # hit 2
+    assert t.last_trigger == "classifier"
+    assert t.last_signature == "collapse"
+    t.fired(0.69, at_epoch=3)
+    assert t.fired_early == 1
+
+    # healthy late-run shape (avg/min ~2.4, the post-EMA floor): the
+    # collapse gate never fires no matter how long the run idles
+    t = StallTracker(-1, classify_patience=2)
+    assert not any(t.observe(0.063, ade_avg=0.155, train_ade=0.16)
+                   for _ in range(40))
+    assert t.fired_early == 0
+
+    # an IMPROVING collapsed run is left alone (min keeps dropping:
+    # bar resets, streak resets — only a STALLED collapse fires)
+    t = StallTracker(-1, classify_patience=2)
+    for ade in (0.69, 0.60, 0.52, 0.45, 0.39):
+        assert not t.observe(ade, ade_avg=ade * 1.02, train_ade=0.5)
+    assert t.signature_hits == 0
+
+    # the under-fit signature still reports its own label
+    t = StallTracker(-1, classify_patience=2)
+    t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert t.observe(0.20, ade_avg=0.70, train_ade=0.63)
+    assert t.last_signature == "underfit"
